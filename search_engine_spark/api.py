@@ -1,0 +1,250 @@
+"""Driver-gate API: named queries over the driver's parquet tables plus
+DuckDB oracle SQL for each.
+
+Each query here is one implemented operator surface from SURVEY.md §2,
+re-expressed over the driver's ``documents`` corpus
+(``doc_id, text, lang, source, n_chars``). The Spark side uses JVM-native
+expressions (regexp_extract_all tokenization — ASCII-identical to the
+reference kernels, see functions/tokenize.py) so plans stay in
+whole-stage codegen; the DuckDB oracle uses the equivalent RE2 regexes.
+
+Column-name and tie-break discipline: every output column is aliased
+identically on both sides, every ranked output uses a deterministic
+(score DESC, doc_id ASC) order, and floating scores are rounded to 6
+decimals on both sides so the driver's value-hash comparison is stable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .corpus import REFERENCE_QUERIES, load_table
+from .index.build import build_postings, doc_lengths, term_stats
+from .query.scoring import bm25_topk, tfsum_topk
+
+
+def _queries_df(spark: SparkSession) -> DataFrame:
+    rows = [(f"q{n:02d}", q) for n, q in enumerate(REFERENCE_QUERIES, start=1)]
+    return spark.createDataFrame(rows, ["query_id", "query_string"])
+
+
+def _docs_as_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Engine-internal key is `url`; the driver table key is doc_id.
+    return load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("url"), "text"
+    )
+
+
+# SQL fragments shared by the oracle queries -------------------------------
+
+_SQL_QUERY_VALUES = ",\n    ".join(
+    "('q%02d', '%s')" % (n, q.replace("'", "''"))
+    for n, q in enumerate(REFERENCE_QUERIES, start=1)
+)
+
+_SQL_TOKS = r"""
+toks AS (
+    SELECT doc_id::VARCHAR AS doc_id,
+           unnest(regexp_extract_all(lower(text), '[^\s]+')) AS term
+    FROM documents
+)"""
+
+_SQL_POSTINGS = r"""
+postings AS (
+    SELECT term, doc_id, count(*)::BIGINT AS tf
+    FROM toks GROUP BY term, doc_id
+)"""
+
+_SQL_QTERMS = rf"""
+q(query_id, query_string) AS (VALUES
+    {_SQL_QUERY_VALUES}
+),
+qtok AS (
+    SELECT query_id,
+           unnest(regexp_extract_all(lower(query_string), '\w+')) AS term
+    FROM q
+),
+qterms AS (
+    SELECT query_id, term, count(*)::BIGINT AS qtf
+    FROM qtok GROUP BY query_id, term
+)"""
+
+
+# Query implementations ----------------------------------------------------
+
+
+def q_tfsum_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parity scorer over the documents corpus (SURVEY.md §2 Q1-Q5)."""
+    docs = _docs_as_corpus(spark, sf_dir)
+    postings = build_postings(docs)
+    out = tfsum_topk(_queries_df(spark), postings, k=10)
+    return out.select(
+        "query_id",
+        F.col("rank").cast("int").alias("rank"),
+        F.col("url").alias("doc_id"),
+        F.col("score").cast("long").alias("score"),
+    )
+
+
+_SQL_TFSUM = rf"""
+WITH {_SQL_TOKS},
+{_SQL_POSTINGS},
+{_SQL_QTERMS},
+scored AS (
+    SELECT query_id, doc_id, sum(qtf * tf)::BIGINT AS score
+    FROM qterms JOIN postings USING (term)
+    GROUP BY query_id, doc_id
+),
+ranked AS (
+    SELECT query_id,
+           row_number() OVER (
+               PARTITION BY query_id ORDER BY score DESC, doc_id ASC
+           )::INTEGER AS rank,
+           doc_id, score
+    FROM scored
+)
+SELECT query_id, rank, doc_id, score FROM ranked WHERE rank <= 10
+"""
+
+
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 oracle scorer (SURVEY.md §7.3 spec), scores rounded to 6dp."""
+    docs = _docs_as_corpus(spark, sf_dir)
+    postings = build_postings(docs)
+    dl = doc_lengths(docs)
+    agg = dl.agg(
+        F.count(F.lit(1)).alias("n"), F.avg("dl").alias("avgdl")
+    ).collect()[0]
+    ts = term_stats(postings, int(agg.n))
+    out = bm25_topk(_queries_df(spark), postings, dl, ts, float(agg.avgdl), k=10)
+    return out.select(
+        "query_id",
+        F.col("rank").cast("int").alias("rank"),
+        F.col("url").alias("doc_id"),
+        F.round("score", 6).alias("score"),
+    )
+
+
+_SQL_BM25 = rf"""
+WITH {_SQL_TOKS},
+{_SQL_POSTINGS},
+{_SQL_QTERMS},
+dl AS (
+    SELECT doc_id, count(*)::BIGINT AS dl FROM toks GROUP BY doc_id
+),
+stats AS (
+    SELECT count(*)::DOUBLE AS n, avg(dl)::DOUBLE AS avgdl FROM dl
+),
+ts AS (
+    SELECT term, count(*)::BIGINT AS df,
+           ln(1.0 + ((SELECT n FROM stats) - count(*) + 0.5) / (count(*) + 0.5)) AS idf
+    FROM postings GROUP BY term
+),
+scored AS (
+    SELECT query_id, p.doc_id,
+           sum(
+               qtf * ts.idf * (p.tf * 2.2)
+               / (p.tf + 1.2 * (0.25 + 0.75 * dl.dl / (SELECT avgdl FROM stats)))
+           ) AS score
+    FROM qterms
+    JOIN postings p USING (term)
+    JOIN ts USING (term)
+    JOIN dl ON p.doc_id = dl.doc_id
+    GROUP BY query_id, p.doc_id
+),
+ranked AS (
+    SELECT query_id,
+           row_number() OVER (
+               PARTITION BY query_id ORDER BY score DESC, doc_id ASC
+           )::INTEGER AS rank,
+           doc_id, round(score, 6) AS score
+    FROM scored
+)
+SELECT query_id, rank, doc_id, score FROM ranked WHERE rank <= 10
+"""
+
+
+def q_term_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary statistics: top-100 terms by df (B1/term_stats surface)."""
+    docs = _docs_as_corpus(spark, sf_dir)
+    postings = build_postings(docs)
+    n = docs.count()
+    ts = term_stats(postings, n)
+    return (
+        ts.orderBy(F.desc("df"), F.asc("term"))
+        .limit(100)
+        .select("term", "df", "cf", F.round("idf", 6).alias("idf"))
+    )
+
+
+_SQL_TERM_STATS = rf"""
+WITH {_SQL_TOKS},
+{_SQL_POSTINGS},
+n AS (SELECT count(DISTINCT doc_id)::DOUBLE AS n FROM toks),
+ts AS (
+    SELECT term, count(*)::BIGINT AS df, sum(tf)::BIGINT AS cf
+    FROM postings GROUP BY term
+)
+SELECT term, df, cf,
+       round(ln(1.0 + ((SELECT n FROM n) - df + 0.5) / (df + 0.5)), 6) AS idf
+FROM ts
+ORDER BY df DESC, term ASC
+LIMIT 100
+"""
+
+
+def q_doc_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token counts (BM25 dl; text-analysis surface)."""
+    docs = _docs_as_corpus(spark, sf_dir)
+    return doc_lengths(docs).select(
+        F.col("url").alias("doc_id"), F.col("dl").alias("n_tokens")
+    )
+
+
+_SQL_DOC_LENGTHS = rf"""
+WITH {_SQL_TOKS}
+SELECT doc_id, count(*)::BIGINT AS n_tokens FROM toks GROUP BY doc_id
+"""
+
+
+def q_postings_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The postings relation itself for the reference query terms —
+    the token -> posting-list lookup surface (SURVEY.md §2 Q1)."""
+    docs = _docs_as_corpus(spark, sf_dir)
+    postings = build_postings(docs)
+    qt = (
+        _queries_df(spark)
+        .select(F.explode(F.regexp_extract_all(F.lower("query_string"), F.lit(r"\w+"), 0)).alias("term"))
+        .distinct()
+    )
+    return (
+        postings.join(F.broadcast(qt), "term")
+        .select("term", F.col("url").alias("doc_id"), "tf")
+    )
+
+
+_SQL_POSTINGS_SAMPLE = rf"""
+WITH {_SQL_TOKS},
+{_SQL_POSTINGS},
+{_SQL_QTERMS}
+SELECT DISTINCT p.term, p.doc_id, p.tf
+FROM postings p JOIN (SELECT DISTINCT term FROM qterms) t USING (term)
+"""
+
+
+QUERIES: dict = {
+    "tfsum_topk": q_tfsum_topk,
+    "bm25_topk": q_bm25_topk,
+    "term_stats_top100": q_term_stats,
+    "doc_lengths": q_doc_lengths,
+    "postings_query_terms": q_postings_sample,
+}
+
+ORACLES: dict = {
+    "tfsum_topk": _SQL_TFSUM,
+    "bm25_topk": _SQL_BM25,
+    "term_stats_top100": _SQL_TERM_STATS,
+    "doc_lengths": _SQL_DOC_LENGTHS,
+    "postings_query_terms": _SQL_POSTINGS_SAMPLE,
+}

@@ -122,7 +122,7 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "query_id",
         F.col("rank").cast("int").alias("rank"),
         F.col("url").alias("doc_id"),
-        F.round("score", 6).alias("score"),
+        "score",
     )
 
 
@@ -143,10 +143,10 @@ ts AS (
 ),
 scored AS (
     SELECT query_id, p.doc_id,
-           sum(
+           round(sum(
                qtf * ts.idf * (p.tf * 2.2)
                / (p.tf + 1.2 * (0.25 + 0.75 * dl.dl / (SELECT avgdl FROM stats)))
-           ) AS score
+           ), 6) AS score
     FROM qterms
     JOIN postings p USING (term)
     JOIN ts USING (term)
@@ -158,11 +158,38 @@ ranked AS (
            row_number() OVER (
                PARTITION BY query_id ORDER BY score DESC, doc_id ASC
            )::INTEGER AS rank,
-           doc_id, round(score, 6) AS score
+           doc_id, score
     FROM scored
 )
 SELECT query_id, rank, doc_id, score FROM ranked WHERE rank <= 10
 """
+
+
+def q_wand_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Block-max MaxScore over compressed segments (query/wand.py).
+
+    Shares the BM25 oracle SQL — the driver's comparison IS the
+    north_rule's rank-identity check (fast path == brute force).
+    Builds the segment index into a scratch dir on each call; at sf0.01
+    that's a sub-second build and keeps the query self-contained.
+    """
+    import tempfile
+
+    from .index.segments import build_segments
+    from .query.wand import wand_topk
+
+    docs = _docs_as_corpus(spark, sf_dir)
+    with tempfile.TemporaryDirectory(prefix="seg-idx-") as d:
+        build_segments(spark, docs, d, n_buckets=8, run_id="gate")
+        out = wand_topk(spark, d, _queries_df(spark), k=10)
+        rows = out.collect()  # materialize before the temp dir vanishes
+    res = spark.createDataFrame(rows, out.schema)
+    return res.select(
+        "query_id",
+        F.col("rank").cast("int").alias("rank"),
+        F.col("url").alias("doc_id"),
+        "score",
+    )
 
 
 def q_term_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -236,6 +263,7 @@ FROM postings p JOIN (SELECT DISTINCT term FROM qterms) t USING (term)
 QUERIES: dict = {
     "tfsum_topk": q_tfsum_topk,
     "bm25_topk": q_bm25_topk,
+    "wand_topk": q_wand_topk,
     "term_stats_top100": q_term_stats,
     "doc_lengths": q_doc_lengths,
     "postings_query_terms": q_postings_sample,
@@ -244,6 +272,8 @@ QUERIES: dict = {
 ORACLES: dict = {
     "tfsum_topk": _SQL_TFSUM,
     "bm25_topk": _SQL_BM25,
+    # wand_topk must be rank-identical to brute-force BM25: same oracle.
+    "wand_topk": _SQL_BM25,
     "term_stats_top100": _SQL_TERM_STATS,
     "doc_lengths": _SQL_DOC_LENGTHS,
     "postings_query_terms": _SQL_POSTINGS_SAMPLE,

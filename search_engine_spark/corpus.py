@@ -34,6 +34,8 @@ import math
 import os
 from pathlib import Path
 
+import pandas as pd
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
@@ -209,8 +211,6 @@ def synth_pages(spark: SparkSession, n: int, seed: int = 42, partitions: int | N
     row is a pure function of (seed, id) — identical output at any
     parallelism, which the two-level scaling comparison requires.
     """
-    import pandas as pd
-
     rng = spark.range(0, n, 1, partitions or spark.sparkContext.defaultParallelism)
 
     @F.pandas_udf(StringType())

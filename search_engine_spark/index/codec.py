@@ -1,0 +1,213 @@
+"""Posting-list codec: delta + LEB128 varint with block-max metadata.
+
+The reference keeps postings as uncompressed ``Vec<String>`` with one entry
+per token occurrence (``src/lib.rs:341-343,359-365``). At 10^12-doc scale
+that layout is untenable; per the north_rule, segments store docID-sorted,
+delta + varint-compressed posting lists with per-block metadata:
+
+- ``last_docid`` per block  -> skip/seek without decoding,
+- ``max_norm``  per block   -> BM25 block upper bound (idf-independent:
+  ``norm = tf*(k1+1) / (tf + k1*(1-b+b*dl/avgdl))``; multiply by the
+  term's global idf at query time, so encoding needs NO global join),
+- byte offsets per block    -> decode individual blocks standalone.
+
+Everything is numpy-vectorized (no per-value Python loops; the LEB128
+encoder/decoder loop is over the ≤10 byte positions, not over values),
+so the kernels run at Arrow-batch speed inside pandas UDFs.
+
+Layout of the ``postings`` binary per term:
+    [docid varints][tf varints]  (docids are gap-encoded, gaps = docid
+    diffs with an implicit previous of -1, i.e. first gap = docid+1 so
+    docid 0 encodes as 1 — keeps every gap >= 1)
+
+Layout of the ``blockmeta`` binary per term:
+    uint32 n_blocks, uint32 block_size,
+    int64  last_docid[n_blocks],
+    float32 max_norm[n_blocks],
+    uint32 docid_byte_off[n_blocks + 1],
+    uint32 tf_byte_off[n_blocks + 1]
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+BLOCK_SIZE = 128
+
+_U7 = np.uint64(7)
+_U0x7F = np.uint64(0x7F)
+
+
+def varint_encode(values: np.ndarray) -> bytes:
+    """LEB128-encode a uint64 array. Vectorized over values."""
+    v = np.ascontiguousarray(values, dtype=np.uint64)
+    n = len(v)
+    if n == 0:
+        return b""
+    buf = np.zeros((n, 10), dtype=np.uint8)
+    lens = np.ones(n, dtype=np.int64)
+    cur = v.copy()
+    for i in range(10):
+        buf[:, i] = (cur & _U0x7F).astype(np.uint8)
+        cur >>= _U7
+        more = cur > 0
+        if not more.any():
+            break
+        buf[more, i] |= 0x80
+        lens[more] = i + 2
+    mask = np.arange(10)[None, :] < lens[:, None]
+    return buf[mask].tobytes()
+
+
+def varint_decode(data: bytes | memoryview, prev_total: int | None = None) -> np.ndarray:
+    """Decode a full LEB128 byte stream back to uint64. Vectorized."""
+    a = np.frombuffer(data, dtype=np.uint8)
+    if len(a) == 0:
+        return np.empty(0, dtype=np.uint64)
+    ends = (a & 0x80) == 0
+    gid = np.zeros(len(a), dtype=np.int64)
+    np.cumsum(ends[:-1], out=gid[1:])
+    starts = np.flatnonzero(np.diff(gid, prepend=-1))
+    offs = (np.arange(len(a)) - starts[gid]).astype(np.uint64)
+    vals = (a.astype(np.uint64) & _U0x7F) << (offs * _U7)
+    return np.add.reduceat(vals, starts)
+
+
+def delta_encode(docids: np.ndarray) -> np.ndarray:
+    """Sorted docids -> gaps (first gap = docid + 1, all gaps >= 1)."""
+    d = np.asarray(docids, dtype=np.int64)
+    gaps = np.empty(len(d), dtype=np.uint64)
+    if len(d):
+        gaps[0] = d[0] + 1
+        gaps[1:] = np.diff(d)
+    return gaps
+
+
+def delta_decode(gaps: np.ndarray) -> np.ndarray:
+    g = np.asarray(gaps, dtype=np.uint64).astype(np.int64)
+    if len(g) == 0:
+        return np.empty(0, dtype=np.int64)
+    out = np.cumsum(g)
+    return out - 1
+
+
+def bm25_norm(tfs: np.ndarray, dls: np.ndarray, avgdl: float, k1: float = 1.2, b: float = 0.75) -> np.ndarray:
+    """idf-independent BM25 term normalization per posting (float64)."""
+    tf = np.asarray(tfs, dtype=np.float64)
+    dl = np.asarray(dls, dtype=np.float64)
+    return tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * dl / float(avgdl)))
+
+
+class EncodedPostings:
+    __slots__ = ("postings", "blockmeta")
+
+    def __init__(self, postings: bytes, blockmeta: bytes):
+        self.postings = postings
+        self.blockmeta = blockmeta
+
+
+def encode_postings(
+    docids: np.ndarray,
+    tfs: np.ndarray,
+    norms: np.ndarray,
+    block_size: int = BLOCK_SIZE,
+) -> EncodedPostings:
+    """Encode one term's postings (docid-sorted) into the segment layout."""
+    docids = np.asarray(docids, dtype=np.int64)
+    tfs = np.asarray(tfs, dtype=np.uint64)
+    norms = np.asarray(norms, dtype=np.float64)
+    n = len(docids)
+    if n == 0:
+        raise ValueError("empty posting list")
+    if n > 1 and not (np.diff(docids) > 0).all():
+        raise ValueError("docids must be strictly increasing")
+
+    n_blocks = (n + block_size - 1) // block_size
+    bounds = np.minimum(np.arange(1, n_blocks + 1) * block_size, n)
+    starts = np.concatenate(([0], bounds[:-1]))
+
+    gaps = delta_encode(docids)
+    docid_chunks = []
+    tf_chunks = []
+    docid_offs = np.zeros(n_blocks + 1, dtype=np.uint32)
+    tf_offs = np.zeros(n_blocks + 1, dtype=np.uint32)
+    for i, (s, e) in enumerate(zip(starts, bounds)):
+        dchunk = varint_encode(gaps[s:e])
+        tchunk = varint_encode(tfs[s:e])
+        docid_chunks.append(dchunk)
+        tf_chunks.append(tchunk)
+        docid_offs[i + 1] = docid_offs[i] + len(dchunk)
+        tf_offs[i + 1] = tf_offs[i] + len(tchunk)
+
+    last_docids = docids[bounds - 1].astype(np.int64)
+    max_norms = np.maximum.reduceat(norms, starts).astype(np.float32)
+
+    header = np.array([n_blocks, block_size], dtype=np.uint32).tobytes()
+    blockmeta = (
+        header
+        + last_docids.tobytes()
+        + max_norms.tobytes()
+        + docid_offs.tobytes()
+        + tf_offs.tobytes()
+    )
+    postings = b"".join(docid_chunks) + b"".join(tf_chunks)
+    return EncodedPostings(postings, blockmeta)
+
+
+class BlockMeta:
+    __slots__ = ("n_blocks", "block_size", "last_docids", "max_norms", "docid_offs", "tf_offs")
+
+    def __init__(self, blockmeta: bytes):
+        mv = memoryview(blockmeta)
+        hdr = np.frombuffer(mv[:8], dtype=np.uint32)
+        self.n_blocks = int(hdr[0])
+        self.block_size = int(hdr[1])
+        o = 8
+        nb = self.n_blocks
+        self.last_docids = np.frombuffer(mv[o : o + 8 * nb], dtype=np.int64)
+        o += 8 * nb
+        self.max_norms = np.frombuffer(mv[o : o + 4 * nb], dtype=np.float32)
+        o += 4 * nb
+        self.docid_offs = np.frombuffer(mv[o : o + 4 * (nb + 1)], dtype=np.uint32)
+        o += 4 * (nb + 1)
+        self.tf_offs = np.frombuffer(mv[o : o + 4 * (nb + 1)], dtype=np.uint32)
+
+
+def decode_postings(
+    postings: bytes, blockmeta: "bytes | BlockMeta"
+) -> tuple[np.ndarray, np.ndarray]:
+    """Full decode: (docids int64, tfs uint64)."""
+    meta = blockmeta if isinstance(blockmeta, BlockMeta) else BlockMeta(blockmeta)
+    docid_bytes_len = int(meta.docid_offs[-1])
+    gaps = varint_decode(memoryview(postings)[:docid_bytes_len])
+    tfs = varint_decode(memoryview(postings)[docid_bytes_len:])
+    return delta_decode(gaps), tfs
+
+
+def decode_blocks(
+    postings: bytes, meta: BlockMeta, block_idx: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """Decode only the selected blocks (sorted unique indices).
+
+    Returns (docids, tfs) for the postings in those blocks. Each block's
+    delta chain is anchored by the previous block's last_docid from the
+    metadata, so no other bytes are touched.
+    """
+    mv = memoryview(postings)
+    docid_base = 0
+    tf_base = int(meta.docid_offs[-1])
+    docid_parts = []
+    tf_parts = []
+    for bi in np.asarray(block_idx, dtype=np.int64):
+        ds, de = int(meta.docid_offs[bi]), int(meta.docid_offs[bi + 1])
+        ts, te = int(meta.tf_offs[bi]), int(meta.tf_offs[bi + 1])
+        gaps = varint_decode(mv[docid_base + ds : docid_base + de])
+        anchor = -1 if bi == 0 else int(meta.last_docids[bi - 1])
+        # Uniform anchor math: block 0's first gap is docid0 + 1 and the
+        # anchor is -1, so ids = anchor + cumsum(gaps) holds for every block.
+        ids = np.cumsum(gaps.astype(np.int64)) + anchor
+        docid_parts.append(ids)
+        tf_parts.append(varint_decode(mv[tf_base + ts : tf_base + te]))
+    if not docid_parts:
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.uint64)
+    return np.concatenate(docid_parts), np.concatenate(tf_parts)

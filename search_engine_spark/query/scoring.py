@@ -112,7 +112,10 @@ def bm25_topk(
         * (F.col("tf") * (k1 + 1.0))
         / (F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / float(avgdl))),
     )
+    # Rank on the 6dp-rounded score: floating-point reassociation across
+    # different plans (oracle vs WAND) must not flip near-tie ranks; below
+    # 1e-6 the deterministic url ASC tie-break decides.
     scored = contrib.groupBy("query_id", "url").agg(
-        F.sum("contrib").alias("score")
+        F.round(F.sum("contrib"), 6).alias("score")
     )
     return _ranked(scored, k, "score")

@@ -57,5 +57,9 @@ def bm25_search(postings, dl, query: str, k: int = 10, k1: float = 1.2, b: float
         for url, tf in plist.items():
             norm = tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * dl[url] / avgdl))
             scores[url] += qn * idf * norm
-    ranked = sorted(scores.items(), key=lambda x: (-x[1], x[0]))
+    # Engine convention: rank on the 6dp-rounded score (see query/scoring.py)
+    ranked = sorted(
+        ((u, round(s, 6)) for u, s in scores.items()),
+        key=lambda x: (-x[1], x[0]),
+    )
     return ranked[:k]

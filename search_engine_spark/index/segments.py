@@ -36,7 +36,9 @@ uninterrupted one (tested in tests/test_segments.py).
 from __future__ import annotations
 
 import json
+import os
 import shutil
+import sys
 import time
 from pathlib import Path
 
@@ -56,7 +58,7 @@ from pyspark.sql.types import (
 
 from ..functions.tokenize import doc_tokens_col, doc_tokens_udf
 from .build import BM25_B, BM25_K1
-from .codec import bm25_norm, encode_postings
+from .codec import bm25_norm, encode_postings_batch
 
 SEGMENT_SCHEMA = StructType(
     [
@@ -83,6 +85,28 @@ LINEAGE_SCHEMA = StructType(
 
 def _bucket_col(n_buckets: int):
     return F.pmod(F.xxhash64(F.col("url")), F.lit(n_buckets)).cast("int")
+
+
+_PHASE_LOG = os.environ.get("SEGMENTS_PHASE_LOG", "") == "1"
+
+
+class _phase:
+    """Optional phase timer (SEGMENTS_PHASE_LOG=1) for build diagnostics."""
+
+    def __init__(self, name: str):
+        self.name = name
+
+    def __enter__(self):
+        self.t0 = time.monotonic()
+        return self
+
+    def __exit__(self, *exc):
+        if _PHASE_LOG:
+            print(
+                f"[segments] {self.name}: {time.monotonic() - self.t0:.2f}s",
+                file=sys.stderr,
+                flush=True,
+            )
 
 
 def build_segments(
@@ -115,14 +139,21 @@ def build_segments(
         "bucket", _bucket_col(n_buckets)
     )
 
-    # Corpus stats are global and cheap; recompute idempotently each run.
+    # Pass 1 — docmeta for every missing bucket (even past a fail-injection
+    # point, so corpus stats below are always computed over the FULL
+    # corpus and resumed runs encode with identical avgdl/norms).
+    missing = sorted(set(range(n_buckets)) - committed)
+    if missing:
+        with _phase("docmeta"):
+            _write_docmeta(spark, toks, out, missing)
+
+    # Corpus stats from docmeta — no extra tokenize pass over the corpus.
     stats_path = out / "stats.json"
-    dl_df = toks.select(
-        "bucket", "url", F.size("tokens").cast("long").alias("dl")
-    )
-    agg = dl_df.agg(
-        F.count(F.lit(1)).alias("n"), F.avg("dl").alias("avgdl")
-    ).collect()[0]
+    docmeta_all = spark.read.parquet(str(out / "docmeta"))
+    with _phase("stats"):
+        agg = docmeta_all.agg(
+            F.count(F.lit(1)).alias("n"), F.avg("dl").alias("avgdl")
+        ).collect()[0]
     n_docs, avgdl = int(agg["n"]), float(agg["avgdl"] or 0.0)
     stats = {
         "n_docs": n_docs,
@@ -133,15 +164,17 @@ def build_segments(
     }
     stats_path.write_text(json.dumps(stats))
 
-    todo = sorted(set(range(n_buckets)) - committed)
+    todo = missing
     if fail_after_buckets is not None:
         todo = todo[:fail_after_buckets]
     if todo:
-        _build_buckets(spark, toks, dl_df, out, todo, n_buckets, avgdl, k1, b, run_id, n_docs)
+        with _phase("build_buckets"):
+            _build_buckets(spark, toks, out, todo, n_buckets, avgdl, k1, b, run_id)
 
     # Global term stats (df summed across buckets) — rebuilt when complete.
     if len(_committed_buckets(spark, out)) == n_buckets:
-        _write_termstats(spark, out, n_docs)
+        with _phase("termstats"):
+            _write_termstats(spark, out, n_docs)
 
     elapsed = time.monotonic() - t0
     return {
@@ -175,71 +208,117 @@ def _clean_uncommitted(out: Path, committed: set[int]) -> None:
                 shutil.rmtree(d)
 
 
-def _build_buckets(
-    spark, toks, dl_df, out: Path, todo, n_buckets, avgdl, k1, b, run_id, n_docs
-) -> None:
+def _write_docmeta(spark, toks, out: Path, missing: list[int]) -> None:
+    """Dense per-bucket doc_idx, deterministic (url-sorted within bucket)."""
     from pyspark.sql import Window
 
-    todo_set = set(todo)
-    toks_f = toks.filter(F.col("bucket").isin(list(todo_set)))
-
-    # Dense per-bucket doc_idx, deterministic (url-sorted within bucket).
-    w = Window.partitionBy("bucket").orderBy("url")
-    docmeta = (
-        dl_df.filter(F.col("bucket").isin(list(todo_set)))
-        .withColumn("doc_idx", (F.row_number().over(w) - 1).cast("long"))
-        .select("bucket", "doc_idx", "url", "dl")
+    dl_df = toks.filter(F.col("bucket").isin(list(missing))).select(
+        "bucket", "url", F.size("tokens").cast("long").alias("dl")
     )
+    w = Window.partitionBy("bucket").orderBy("url")
+    docmeta = dl_df.withColumn(
+        "doc_idx", (F.row_number().over(w) - 1).cast("long")
+    ).select("bucket", "doc_idx", "url", "dl")
     docmeta.write.partitionBy("bucket").mode("append").parquet(
         str(out / "docmeta")
     )
+
+
+def _build_buckets(
+    spark, toks, out: Path, todo, n_buckets, avgdl, k1, b, run_id
+) -> None:
+    todo_set = set(todo)
+    toks_f = toks.filter(F.col("bucket").isin(list(todo_set)))
     docmeta_r = spark.read.parquet(str(out / "docmeta")).filter(
         F.col("bucket").isin(list(todo_set))
     )
 
-    postings = (
-        toks_f.select("bucket", "url", F.explode("tokens").alias("term"))
-        .groupBy("bucket", "url", "term")
-        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
-        .join(docmeta_r.select("bucket", "url", "doc_idx", "dl"), ["bucket", "url"])
-        .select("bucket", "term", "doc_idx", "tf", "dl")
+    # Single-shuffle plan for the corpus-sized data: join doc_idx at the
+    # DOCUMENT level (one row per doc — a small join, never a
+    # postings-sized sort-merge), explode to occurrences, and move them
+    # ONCE (repartition by bucket) into a cogrouped Arrow kernel that
+    # does tf-counting + sort + batch-encode vectorized. tf aggregation
+    # in the kernel instead of a groupBy avoids a second corpus-sized
+    # shuffle+sort: Zipf-tail (doc, term) pairs are mostly unique, so a
+    # pre-aggregation shuffle would carry ~the same rows anyway.
+    occurrences = (
+        toks_f.join(docmeta_r.select("bucket", "url", "doc_idx"), ["bucket", "url"])
+        .select("bucket", "doc_idx", F.explode("tokens").alias("term"))
+        .repartition(len(todo_set), "bucket")
     )
 
-    def encode_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+    def encode_bucket(occ: pd.DataFrame, meta: pd.DataFrame) -> pd.DataFrame:
         t_start = time.monotonic()
-        pdf = pdf.sort_values(["term", "doc_idx"], kind="mergesort")
-        terms = pdf["term"].to_numpy()
-        doc_idx = pdf["doc_idx"].to_numpy(dtype=np.int64)
-        tfs = pdf["tf"].to_numpy(dtype=np.int64)
-        dls = pdf["dl"].to_numpy(dtype=np.int64)
-        norms = bm25_norm(tfs, dls, avgdl=avgdl, k1=k1, b=b)
-        # Segment boundaries per term (vectorized group detection).
-        change = np.flatnonzero(
-            np.concatenate(([True], terms[1:] != terms[:-1]))
-        )
-        bounds = np.concatenate((change, [len(terms)]))
-        bucket = int(pdf["bucket"].iloc[0])
-        out_rows = []
-        for s, e in zip(bounds[:-1], bounds[1:]):
-            enc = encode_postings(doc_idx[s:e], tfs[s:e], norms[s:e])
-            out_rows.append(
-                (bucket, terms[s], int(e - s), enc.postings, enc.blockmeta, None)
+        if occ.empty:
+            return pd.DataFrame(
+                {c: pd.Series(dtype=t)
+                 for c, t in zip(
+                     ["bucket", "term", "df", "postings", "blockmeta", "encode_secs"],
+                     ["int64", "object", "int64", "object", "object", "float64"],
+                 )}
             )
+        bucket = int(occ["bucket"].iloc[0])
+        codes, uniques = pd.factorize(occ["term"], sort=True)
+        doc_idx = occ["doc_idx"].to_numpy(dtype=np.int64)
+        order = np.lexsort((doc_idx, codes))
+        codes_s = codes[order]
+        docs_s = doc_idx[order]
+        # tf run-length over sorted (term, doc): one posting per run.
+        new_run = np.concatenate(
+            ([True], (codes_s[1:] != codes_s[:-1]) | (docs_s[1:] != docs_s[:-1]))
+        )
+        run_starts = np.flatnonzero(new_run)
+        run_ends = np.concatenate((run_starts[1:], [len(codes_s)]))
+        p_codes = codes_s[run_starts]
+        p_docs = docs_s[run_starts]
+        p_tfs = (run_ends - run_starts).astype(np.int64)
+        # dl lookup via the cogrouped docmeta (doc_idx is dense 0..n-1).
+        dl_lookup = np.zeros(int(meta["doc_idx"].max()) + 1, dtype=np.int64)
+        dl_lookup[meta["doc_idx"].to_numpy(dtype=np.int64)] = meta[
+            "dl"
+        ].to_numpy(dtype=np.int64)
+        norms = bm25_norm(p_tfs, dl_lookup[p_docs], avgdl=avgdl, k1=k1, b=b)
+        # Term-group bounds over the posting runs (codes are sorted).
+        t_change = np.flatnonzero(
+            np.concatenate(([True], p_codes[1:] != p_codes[:-1]))
+        )
+        bounds = np.concatenate((t_change, [len(p_codes)]))
+        starts, ends = bounds[:-1], bounds[1:]
+        encoded = encode_postings_batch(p_docs, p_tfs, norms, starts, ends)
         secs = time.monotonic() - t_start
         res = pd.DataFrame(
-            out_rows,
-            columns=["bucket", "term", "df", "postings", "blockmeta", "encode_secs"],
+            {
+                "bucket": np.full(len(starts), bucket, dtype=np.int64),
+                "term": uniques.to_numpy()[p_codes[starts]],
+                "df": (ends - starts).astype(np.int64),
+                "postings": [e.postings for e in encoded],
+                "blockmeta": [e.blockmeta for e in encoded],
+                "encode_secs": np.full(len(starts), np.nan),
+            }
         )
         if len(res):
             res.loc[res.index[0], "encode_secs"] = secs
         return res
 
-    segments = postings.groupBy("bucket").applyInPandas(
-        encode_bucket, schema=SEGMENT_SCHEMA
+    # Cogroup occurrences with docmeta per bucket. The explicit
+    # repartition above is exempt from AQE partition coalescing (which
+    # would otherwise fold Python-heavy buckets into too few tasks — this
+    # stage's cost is per-posting Python/numpy work, not shuffle bytes).
+    # Fresh read for the cogroup side: occurrences already embeds
+    # docmeta_r in its lineage, and Spark flags the doc_idx self-join as
+    # ambiguous if the same Dataset object appears on both sides.
+    docmeta_cg = spark.read.parquet(str(out / "docmeta")).filter(
+        F.col("bucket").isin(list(todo_set))
     )
-    segments.write.partitionBy("bucket").mode("append").parquet(
-        str(out / "segments")
+    segments = (
+        occurrences.groupBy("bucket")
+        .cogroup(docmeta_cg.select("bucket", "doc_idx", "dl").groupBy("bucket"))
+        .applyInPandas(encode_bucket, schema=SEGMENT_SCHEMA)
     )
+    with _phase("encode+write"):
+        segments.write.partitionBy("bucket").mode("append").parquet(
+            str(out / "segments")
+        )
 
     # Commit: lineage rows mark buckets durable; metrics ride along.
     seg_read = spark.read.parquet(str(out / "segments")).filter(

@@ -107,3 +107,35 @@ def test_compression_beats_raw():
     enc = encode_postings(docids, tfs, norms)
     raw = 8 * n + 8 * n  # int64 docid + int64 tf
     assert len(enc.postings) < raw / 4
+
+
+def test_batch_encode_matches_single():
+    """encode_postings_batch must be byte-identical to per-term encodes,
+    across list lengths spanning block boundaries (df 1..300)."""
+    from search_engine_spark.index.codec import encode_postings_batch
+
+    rng = np.random.default_rng(7)
+    doc_parts, tf_parts, norm_parts, starts, ends = [], [], [], [], []
+    off = 0
+    for df in [1, 2, 127, 128, 129, 300, 5, 1, 256]:
+        ids = np.cumsum(rng.integers(1, 40, size=df)) - 1
+        tfs = np.minimum(rng.geometric(0.4, size=df), 50).astype(np.uint64)
+        norms = bm25_norm(tfs, rng.integers(10, 500, size=df), avgdl=90.0)
+        doc_parts.append(ids)
+        tf_parts.append(tfs)
+        norm_parts.append(norms)
+        starts.append(off)
+        ends.append(off + df)
+        off += df
+    batch = encode_postings_batch(
+        np.concatenate(doc_parts),
+        np.concatenate(tf_parts),
+        np.concatenate(norm_parts),
+        np.array(starts),
+        np.array(ends),
+    )
+    assert len(batch) == len(doc_parts)
+    for enc_b, ids, tfs, norms in zip(batch, doc_parts, tf_parts, norm_parts):
+        enc_s = encode_postings(ids, tfs, norms)
+        assert enc_b.postings == enc_s.postings
+        assert enc_b.blockmeta == enc_s.blockmeta

@@ -260,6 +260,8 @@ FROM postings p JOIN (SELECT DISTINCT term FROM qterms) t USING (term)
 """
 
 
+from .api_pipeline import PIPELINE_ORACLES, PIPELINE_QUERIES  # noqa: E402
+
 QUERIES: dict = {
     "tfsum_topk": q_tfsum_topk,
     "bm25_topk": q_bm25_topk,
@@ -267,6 +269,7 @@ QUERIES: dict = {
     "term_stats_top100": q_term_stats,
     "doc_lengths": q_doc_lengths,
     "postings_query_terms": q_postings_sample,
+    **PIPELINE_QUERIES,
 }
 
 ORACLES: dict = {
@@ -277,4 +280,5 @@ ORACLES: dict = {
     "term_stats_top100": _SQL_TERM_STATS,
     "doc_lengths": _SQL_DOC_LENGTHS,
     "postings_query_terms": _SQL_POSTINGS_SAMPLE,
+    **PIPELINE_ORACLES,
 }

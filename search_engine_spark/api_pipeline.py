@@ -1,0 +1,132 @@
+"""Driver-gate entries for the training-data pipeline operators
+(dedup, text analysis, embeddings, multimodal) over the driver's
+``documents`` and ``embeddings`` parquet tables.
+
+Same contract as ``api.py``: every query has a DuckDB oracle with
+identical column names/types; float columns are rounded to 6dp on both
+sides; every ranked output has a deterministic tie-break.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .corpus import load_table
+from .pipeline import dedup, embeddings, multimodal, textstats
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents")
+
+
+def _embs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "embeddings")
+
+
+# --- text analysis --------------------------------------------------------
+
+
+def q_text_stats(spark, sf_dir):
+    """Token counting + quality scoring (SURVEY-adjacent pipeline op)."""
+    return textstats.text_stats(_docs(spark, sf_dir))
+
+
+def q_lang_id(spark, sf_dir):
+    """Marker-stopword language identification."""
+    return textstats.lang_id(_docs(spark, sf_dir))
+
+
+def q_fingerprints(spark, sf_dir):
+    """Winnowing fingerprints (rolling-hash document sketch)."""
+    return textstats.fingerprints(_docs(spark, sf_dir))
+
+
+# --- dedup ----------------------------------------------------------------
+
+
+def q_dedup_exact(spark, sf_dir):
+    return dedup.exact_dups(_docs(spark, sf_dir))
+
+
+def q_minhash_signatures(spark, sf_dir):
+    return dedup.minhash_signatures(_docs(spark, sf_dir))
+
+
+def q_minhash_pairs(spark, sf_dir):
+    return dedup.minhash_pairs(_docs(spark, sf_dir))
+
+
+def q_simhash_signatures(spark, sf_dir):
+    return dedup.simhash_signatures(_docs(spark, sf_dir))
+
+
+def q_simhash_pairs(spark, sf_dir):
+    return dedup.simhash_pairs(_docs(spark, sf_dir))
+
+
+def q_ngram_jaccard_pairs(spark, sf_dir):
+    return dedup.ngram_jaccard_pairs(_docs(spark, sf_dir))
+
+
+# --- embeddings -----------------------------------------------------------
+
+
+def q_cosine_neardup(spark, sf_dir):
+    return embeddings.cosine_neardup_pairs(_embs(spark, sf_dir))
+
+
+def q_ann_brute_topk(spark, sf_dir):
+    return embeddings.ann_brute_topk(_embs(spark, sf_dir))
+
+
+def q_ann_lsh_topk(spark, sf_dir):
+    return embeddings.ann_lsh_topk(_embs(spark, sf_dir))
+
+
+# --- multimodal -----------------------------------------------------------
+
+
+def q_multimodal_features(spark, sf_dir):
+    media = multimodal.media_from_documents(_docs(spark, sf_dir))
+    return multimodal.extract_features(media)
+
+
+def q_video_frames(spark, sf_dir):
+    media = multimodal.media_from_documents(_docs(spark, sf_dir))
+    return multimodal.sample_frames(media)
+
+
+PIPELINE_QUERIES: dict = {
+    "text_stats": q_text_stats,
+    "lang_id": q_lang_id,
+    "fingerprints": q_fingerprints,
+    "dedup_exact": q_dedup_exact,
+    "minhash_signatures": q_minhash_signatures,
+    "minhash_pairs": q_minhash_pairs,
+    "simhash_signatures": q_simhash_signatures,
+    "simhash_pairs": q_simhash_pairs,
+    "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+    "cosine_neardup": q_cosine_neardup,
+    "ann_brute_topk": q_ann_brute_topk,
+    "ann_lsh_topk": q_ann_lsh_topk,
+    "multimodal_features": q_multimodal_features,
+    "video_frames": q_video_frames,
+}
+
+PIPELINE_ORACLES: dict = {
+    "text_stats": textstats.SQL_TEXT_STATS,
+    "lang_id": textstats.SQL_LANG_ID,
+    "fingerprints": textstats.SQL_FINGERPRINTS,
+    "dedup_exact": dedup.SQL_EXACT_DUPS,
+    "minhash_signatures": dedup.SQL_MINHASH_SIGNATURES,
+    "minhash_pairs": dedup.SQL_MINHASH_PAIRS,
+    "simhash_signatures": dedup.SQL_SIMHASH_SIGNATURES,
+    "simhash_pairs": dedup.SQL_SIMHASH_PAIRS,
+    "ngram_jaccard_pairs": dedup.SQL_NGRAM_JACCARD_PAIRS,
+    "cosine_neardup": embeddings.SQL_COSINE_NEARDUP_PAIRS,
+    "ann_brute_topk": embeddings.SQL_ANN_BRUTE_TOPK,
+    "ann_lsh_topk": embeddings.SQL_ANN_LSH_TOPK,
+    "multimodal_features": multimodal.SQL_MULTIMODAL_FEATURES,
+    "video_frames": multimodal.SQL_VIDEO_FRAMES,
+}

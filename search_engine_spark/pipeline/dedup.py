@@ -1,0 +1,469 @@
+"""Deduplication operators over the documents corpus: exact,
+MinHash+LSH, SimHash, and n-gram Jaccard.
+
+All four are the standard web-corpus near-dup family (Broder MinHash /
+Charikar SimHash as used by C4/RefinedWeb-style pipelines), expressed as
+pure DataFrame algebra on the portable hash primitives in ``common.py``
+so the DuckDB oracle can reproduce them bit-for-bit.
+
+Scale notes (100 TB):
+- Exact dedup is one hash-groupBy; the md5 key is uniform, no skew.
+- MinHash signatures are K min-aggregates per doc over exploded shingles
+  — map-side partial min means the shuffle carries one row per
+  (doc, K mins), not per shingle. LSH banding turns pair-finding into an
+  equi-join on (band_idx, band_key): only same-bucket docs ever meet, so
+  there is no O(n^2) candidate explosion. Hot buckets (boilerplate) are
+  the skew risk — the bucket join groups by key first, so a pathological
+  bucket is one task, and a df-cap (like the Jaccard path's) bounds it.
+- SimHash is a per-doc bit-fold (one groupBy doc), and its Hamming join
+  is banded the same way (pigeonhole: hd<=6 over 4 bands of 8 bits means
+  at least one band matches... only for hd<=3; the band count/width and
+  threshold are chosen so the pigeonhole guarantee holds: 4 bands catch
+  every pair with hd <= 3; we report hd <= HAMMING_MAX among candidates).
+- n-gram Jaccard joins on the shingle itself (document-pair inverted
+  index); DF_CAP drops shingles present in more than DF_CAP docs —
+  boilerplate shingles contribute nothing to near-dup detection and are
+  exactly the skew keys, so capping is both the quality and the skew
+  fix (standard in MinHash pipelines).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .common import hash60_col, round6_col, shingles_col, sql_hash60, sql_shingles, sql_words, words_col
+
+MINHASH_K = 32       # signature length
+LSH_BANDS = 8        # bands of MINHASH_K // LSH_BANDS rows each
+SIMHASH_BITS = 32
+SIMHASH_BANDS = 4    # 4 bands x 8 bits
+HAMMING_MAX = 6      # report pairs with hamming distance <= 6 among candidates
+JACCARD_MIN = 0.05   # n-gram Jaccard report threshold
+DF_CAP = 100         # drop shingles shared by more than this many docs
+
+
+# --- exact ----------------------------------------------------------------
+
+
+def exact_dups(docs: DataFrame) -> DataFrame:
+    """(doc_id, content_hash, canonical_doc_id, group_size, is_duplicate)
+
+    Exact dedup on whitespace-normalized lowercase text. Survivor =
+    min(doc_id) per content group.
+    """
+    norm = F.regexp_replace(F.trim(F.lower(F.col("text"))), r"\s+", " ")
+    hashed = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.md5(norm).alias("content_hash"),
+    )
+    groups = hashed.groupBy("content_hash").agg(
+        F.min("doc_id").alias("canonical_doc_id"),
+        F.count(F.lit(1)).cast("long").alias("group_size"),
+    )
+    return (
+        hashed.join(groups, "content_hash")
+        .select(
+            "doc_id",
+            "content_hash",
+            "canonical_doc_id",
+            "group_size",
+            (F.col("doc_id") != F.col("canonical_doc_id")).alias("is_duplicate"),
+        )
+    )
+
+
+SQL_EXACT_DUPS = r"""
+WITH hashed AS (
+    SELECT doc_id::BIGINT AS doc_id,
+           md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS content_hash
+    FROM documents
+),
+groups AS (
+    SELECT content_hash, min(doc_id) AS canonical_doc_id,
+           count(*)::BIGINT AS group_size
+    FROM hashed GROUP BY content_hash
+)
+SELECT doc_id, content_hash, canonical_doc_id, group_size,
+       doc_id <> canonical_doc_id AS is_duplicate
+FROM hashed JOIN groups USING (content_hash)
+"""
+
+
+# --- MinHash + LSH --------------------------------------------------------
+
+
+def _doc_shingles(docs: DataFrame) -> DataFrame:
+    """(doc_id, shingle) — distinct word 3-grams, exploded."""
+    return docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.explode(shingles_col(words_col("text"))).alias("shingle"),
+    )
+
+
+def minhash_signatures(docs: DataFrame) -> DataFrame:
+    """(doc_id, k, minhash) — K=32 min-hashes per document.
+
+    h_k(s) = hash60(k || '|' || s); one groupBy(doc_id) with K min
+    aggregates (partial-aggregated map-side, so the shuffle row per doc
+    is just the K running minimums).
+    """
+    sh = _doc_shingles(docs)
+    mins = sh.groupBy("doc_id").agg(
+        *[
+            F.min(
+                hash60_col(F.concat(F.lit(str(k)), F.lit("|"), F.col("shingle")))
+            ).alias(f"mh{k}")
+            for k in range(MINHASH_K)
+        ]
+    )
+    sig = F.array(*[F.col(f"mh{k}") for k in range(MINHASH_K)])
+    return mins.select(
+        "doc_id", F.posexplode(sig).alias("k", "minhash")
+    ).select("doc_id", F.col("k").cast("int").alias("k"), "minhash")
+
+
+def _signature_wide(docs: DataFrame) -> DataFrame:
+    sh = _doc_shingles(docs)
+    return sh.groupBy("doc_id").agg(
+        *[
+            F.min(
+                hash60_col(F.concat(F.lit(str(k)), F.lit("|"), F.col("shingle")))
+            ).alias(f"mh{k}")
+            for k in range(MINHASH_K)
+        ]
+    )
+
+
+def minhash_pairs(docs: DataFrame) -> DataFrame:
+    """(doc_id_a, doc_id_b, n_bands_shared, est_jaccard) — LSH candidate
+    pairs (>=1 shared band of the 8x4 banding) with their signature-
+    agreement Jaccard estimate.
+    """
+    wide = _signature_wide(docs)
+    r = MINHASH_K // LSH_BANDS
+    bands = wide.select(
+        "doc_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.md5(
+                        F.concat_ws(
+                            ",", *[F.col(f"mh{b * r + j}") for j in range(r)]
+                        )
+                    )
+                    for b in range(LSH_BANDS)
+                ]
+            )
+        ).alias("band_idx", "band_key"),
+    )
+    cand = (
+        bands.alias("a")
+        .join(
+            bands.alias("b"),
+            on=[
+                F.col("a.band_idx") == F.col("b.band_idx"),
+                F.col("a.band_key") == F.col("b.band_key"),
+                F.col("a.doc_id") < F.col("b.doc_id"),
+            ],
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_id_a"),
+            F.col("b.doc_id").alias("doc_id_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_bands_shared"))
+    )
+    agree = sum(
+        F.when(F.col(f"a.mh{k}") == F.col(f"b.mh{k}"), 1).otherwise(0)
+        for k in range(MINHASH_K)
+    )
+    sigs_a = wide.alias("a")
+    sigs_b = wide.alias("b")
+    est = (
+        cand.join(sigs_a, cand.doc_id_a == F.col("a.doc_id"))
+        .join(sigs_b, cand.doc_id_b == F.col("b.doc_id"))
+        .select(
+            "doc_id_a",
+            "doc_id_b",
+            "n_bands_shared",
+            round6_col(agree / float(MINHASH_K)).alias("est_jaccard"),
+        )
+    )
+    return est
+
+
+# SQL fragments built programmatically so the K/band constants stay in
+# one place.
+
+_SQL_SHINGLES = rf"""
+sh AS (
+    SELECT doc_id::BIGINT AS doc_id, unnest({sql_shingles('w')}) AS shingle
+    FROM (SELECT doc_id, {sql_words('text')} AS w FROM documents)
+)"""
+
+_SQL_SIG_WIDE = (
+    "sig AS (\n    SELECT doc_id,\n           "
+    + ",\n           ".join(
+        "min(" + sql_hash60(f"'{k}' || '|' || shingle") + f") AS mh{k}"
+        for k in range(MINHASH_K)
+    )
+    + "\n    FROM sh GROUP BY doc_id\n)"
+)
+
+SQL_MINHASH_SIGNATURES = rf"""
+WITH {_SQL_SHINGLES},
+{_SQL_SIG_WIDE},
+arr AS (
+    SELECT doc_id, [{", ".join(f"mh{k}" for k in range(MINHASH_K))}] AS sig
+    FROM sig
+)
+SELECT doc_id, (i - 1)::INTEGER AS k, sig[i] AS minhash
+FROM arr, unnest(range(1, {MINHASH_K + 1})) AS t(i)
+"""
+
+_R = MINHASH_K // LSH_BANDS
+_SQL_BANDS = (
+    "bands AS (\n    SELECT doc_id, band_idx, band_key FROM (\n"
+    "        SELECT doc_id, unnest(["
+    + ", ".join(
+        "md5(concat_ws(',', "
+        + ", ".join(f"mh{b * _R + j}" for j in range(_R))
+        + "))"
+        for b in range(LSH_BANDS)
+    )
+    + "]) AS band_key,\n               generate_subscripts(["
+    + ", ".join("1" for _ in range(LSH_BANDS))
+    + "], 1) - 1 AS band_idx\n        FROM sig)\n)"
+)
+
+_SQL_AGREE = " + ".join(
+    f"CASE WHEN sa.mh{k} = sb.mh{k} THEN 1 ELSE 0 END" for k in range(MINHASH_K)
+)
+
+SQL_MINHASH_PAIRS = rf"""
+WITH {_SQL_SHINGLES},
+{_SQL_SIG_WIDE},
+{_SQL_BANDS},
+cand AS (
+    SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+           count(*)::BIGINT AS n_bands_shared
+    FROM bands a JOIN bands b
+      ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+     AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+)
+SELECT doc_id_a, doc_id_b, n_bands_shared,
+       round(({_SQL_AGREE}) / {float(MINHASH_K)} + 1e-9, 6) AS est_jaccard
+FROM cand
+JOIN sig sa ON cand.doc_id_a = sa.doc_id
+JOIN sig sb ON cand.doc_id_b = sb.doc_id
+"""
+
+
+# --- SimHash --------------------------------------------------------------
+
+
+def simhash_signatures(docs: DataFrame) -> DataFrame:
+    """(doc_id, simhash) — 32-bit SimHash over tf-weighted word hashes.
+
+    bit_b = (sum over distinct terms of tf * sign_b(hash60(term))) > 0,
+    sign_b in {-1, +1} from the term hash's bit b.
+    """
+    tf = (
+        docs.select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.explode(words_col("text")).alias("term"),
+        )
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+        .withColumn("h", hash60_col(F.col("term")))
+    )
+    sums = tf.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.col("tf")
+                * (F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) * 2 - 1)
+            ).alias(f"s{b}")
+            for b in range(SIMHASH_BITS)
+        ]
+    )
+    simhash = sum(
+        F.when(F.col(f"s{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        for b in range(SIMHASH_BITS)
+    )
+    return sums.select("doc_id", simhash.cast("long").alias("simhash"))
+
+
+def simhash_pairs(docs: DataFrame) -> DataFrame:
+    """(doc_id_a, doc_id_b, hamming) — banded Hamming-distance pairs.
+
+    Candidates share at least one of 4 8-bit bands (pigeonhole-complete
+    for hd <= 3); reported at hd <= HAMMING_MAX.
+    """
+    sig = simhash_signatures(docs)
+    width = SIMHASH_BITS // SIMHASH_BANDS
+    bands = sig.select(
+        "doc_id",
+        "simhash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright(F.col("simhash"), b * width)
+                    .bitwiseAND(F.lit((1 << width) - 1))
+                    for b in range(SIMHASH_BANDS)
+                ]
+            )
+        ).alias("band_idx", "band_val"),
+    )
+    pairs = (
+        bands.alias("a")
+        .join(
+            bands.alias("b"),
+            on=[
+                F.col("a.band_idx") == F.col("b.band_idx"),
+                F.col("a.band_val") == F.col("b.band_val"),
+                F.col("a.doc_id") < F.col("b.doc_id"),
+            ],
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_id_a"),
+            F.col("b.doc_id").alias("doc_id_b"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).cast("int").alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= HAMMING_MAX)
+    )
+    return pairs
+
+
+_SQL_SIMHASH_SUMS = (
+    "sums AS (\n    SELECT doc_id,\n           "
+    + ",\n           ".join(
+        f"sum(tf * (((h >> {b}) & 1) * 2 - 1)) AS s{b}"
+        for b in range(SIMHASH_BITS)
+    )
+    + "\n    FROM tf GROUP BY doc_id\n)"
+)
+
+_SQL_SIMHASH_VAL = " + ".join(
+    f"(CASE WHEN s{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(SIMHASH_BITS)
+)
+
+_SQL_SIMHASH_BASE = rf"""
+tf AS (
+    SELECT doc_id::BIGINT AS doc_id, term, count(*)::BIGINT AS tf,
+           {sql_hash60('term')} AS h
+    FROM (
+        SELECT doc_id, unnest({sql_words('text')}) AS term FROM documents
+    )
+    GROUP BY doc_id, term
+),
+{_SQL_SIMHASH_SUMS},
+sig AS (
+    SELECT doc_id, ({_SQL_SIMHASH_VAL})::BIGINT AS simhash FROM sums
+)"""
+
+SQL_SIMHASH_SIGNATURES = rf"""
+WITH {_SQL_SIMHASH_BASE}
+SELECT doc_id, simhash FROM sig
+"""
+
+_W = SIMHASH_BITS // SIMHASH_BANDS
+SQL_SIMHASH_PAIRS = rf"""
+WITH {_SQL_SIMHASH_BASE},
+bands AS (
+    SELECT doc_id, simhash,
+           unnest([{", ".join(f"(simhash >> {b * _W}) & {(1 << _W) - 1}" for b in range(SIMHASH_BANDS))}]) AS band_val,
+           generate_subscripts([{", ".join("1" for _ in range(SIMHASH_BANDS))}], 1) - 1 AS band_idx
+    FROM sig
+)
+SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+       bit_count(xor(a.simhash, b.simhash))::INTEGER AS hamming
+FROM bands a JOIN bands b
+  ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+ AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {HAMMING_MAX}
+"""
+
+
+# --- n-gram Jaccard -------------------------------------------------------
+
+
+def ngram_jaccard_pairs(docs: DataFrame) -> DataFrame:
+    """(doc_id_a, doc_id_b, n_common, jaccard) — exact Jaccard over
+    distinct word 3-gram sets, for pairs sharing >= 1 (df-capped) shingle.
+
+    DF_CAP drops shingles appearing in more than DF_CAP documents before
+    the pair join (skew + quality: boilerplate shingles are the hot keys
+    and carry no near-dup signal). Jaccard denominators use the uncapped
+    per-doc shingle counts.
+    """
+    sh = _doc_shingles(docs)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("n_sh"))
+    rare = sh.join(
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= DF_CAP)
+        .select("shingle"),
+        "shingle",
+    )
+    inter = (
+        rare.alias("a")
+        .join(
+            rare.alias("b"),
+            on=[
+                F.col("a.shingle") == F.col("b.shingle"),
+                F.col("a.doc_id") < F.col("b.doc_id"),
+            ],
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_id_a"),
+            F.col("b.doc_id").alias("doc_id_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_common"))
+    )
+    sa = sizes.withColumnRenamed("doc_id", "doc_id_a").withColumnRenamed("n_sh", "n_a")
+    sb = sizes.withColumnRenamed("doc_id", "doc_id_b").withColumnRenamed("n_sh", "n_b")
+    j = (
+        inter.join(sa, "doc_id_a")
+        .join(sb, "doc_id_b")
+        .select(
+            "doc_id_a",
+            "doc_id_b",
+            "n_common",
+            round6_col(
+                F.col("n_common")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= JACCARD_MIN)
+    )
+    return j
+
+
+SQL_NGRAM_JACCARD_PAIRS = rf"""
+WITH {_SQL_SHINGLES},
+sizes AS (
+    SELECT doc_id, count(*)::BIGINT AS n_sh FROM sh GROUP BY doc_id
+),
+rare AS (
+    SELECT sh.doc_id, sh.shingle FROM sh
+    JOIN (SELECT shingle FROM sh GROUP BY shingle
+          HAVING count(*) <= {DF_CAP}) r USING (shingle)
+),
+inter AS (
+    SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+           count(*)::BIGINT AS n_common
+    FROM rare a JOIN rare b
+      ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+)
+SELECT doc_id_a, doc_id_b, n_common,
+       round(n_common / (sa.n_sh + sb.n_sh - n_common)::DOUBLE + 1e-9, 6) AS jaccard
+FROM inter
+JOIN sizes sa ON inter.doc_id_a = sa.doc_id
+JOIN sizes sb ON inter.doc_id_b = sb.doc_id
+WHERE round(n_common / (sa.n_sh + sb.n_sh - n_common)::DOUBLE + 1e-9, 6) >= {JACCARD_MIN}
+"""

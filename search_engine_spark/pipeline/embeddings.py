@@ -1,0 +1,298 @@
+"""Embedding-space operators over the embeddings table
+(vec_id, embedding float[64], label): cosine near-dup pairs,
+brute-force cosine top-k ANN, and a random-hyperplane-LSH bucketed
+variant (the scale path).
+
+Cross-engine float discipline: every dot product is a *sequential left
+fold* — Spark ``F.aggregate(F.zip_with(...))`` and DuckDB
+``list_reduce(list_transform(list_zip(...)))`` both fold left in index
+order over doubles, so the two engines produce bit-identical sums (no
+reassociation). Cosines are rounded to 6dp before ranking/thresholding;
+rank ties break vec_id ASC.
+
+The LSH hyperplanes are Rademacher (+-1) vectors derived from md5 in
+*Python at module load* and embedded as literals in both the Spark
+expressions and the oracle SQL — one source of truth, zero runtime
+randomness.
+
+Scale notes (100 TB / 10^9 vectors):
+- Brute force is the correctness oracle: O(Q x N) with the query side
+  broadcast — fine for small Q, the baseline for recall checks.
+- The LSH path is the scale design: each vector maps to
+  ``LSH_BANDS`` (band_idx, band_val) keys; candidate generation is an
+  equi-join on those keys (shuffle partitioned by band value, never
+  all-pairs). Band width trades recall for candidate count. At 10^9
+  rows you'd bucket the table by band key at write time (Iceberg
+  ``bucket(B, band_val)``) so queries prune partitions instead of
+  shuffling the corpus.
+- All vector math is JVM higher-order array functions in whole-stage
+  codegen — no UDF in any hot path.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .common import round6_col as _round6
+
+NEARDUP_MIN_COS = 0.3   # report threshold for near-dup pairs
+ANN_K = 10              # neighbors returned per query
+N_QUERIES = 10          # query vectors = vec_id < 10
+LSH_PLANES = 16         # hyperplanes (sketch bits)
+LSH_BANDS = 4           # bands of LSH_PLANES // LSH_BANDS bits
+EMB_DIM = 64
+
+
+def _plane_sign(p: int, d: int) -> int:
+    """Deterministic Rademacher sign for hyperplane p, dimension d."""
+    h = hashlib.md5(f"{p}|{d}".encode()).hexdigest()
+    return (int(h[:15], 16) & 1) * 2 - 1
+
+
+HYPERPLANES: list[list[int]] = [
+    [_plane_sign(p, d) for d in range(EMB_DIM)] for p in range(LSH_PLANES)
+]
+
+
+# --- Spark column kernels -------------------------------------------------
+
+
+def _as_double(c: Column) -> Column:
+    return c.cast("array<double>")
+
+
+def _dot(a: Column, b: Column) -> Column:
+    """Sequential left-fold dot product (bit-identical to list_reduce)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(_dot(a, a))
+
+
+def _vectors(embs: DataFrame) -> DataFrame:
+    v = _as_double(F.col("embedding"))
+    return embs.select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        v.alias("v"),
+        _norm(v).alias("nrm"),
+    )
+
+
+def cosine_neardup_pairs(docs_embs: DataFrame) -> DataFrame:
+    """(vec_id_a, vec_id_b, cosine) — all pairs with cosine >= 0.3.
+
+    Exact all-pairs (the oracle shape); the LSH path below is the
+    sub-quadratic variant for the same semantics at scale.
+    """
+    n = _vectors(docs_embs)
+    a, b = n.alias("a"), n.alias("b")
+    return (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("vec_id_a"),
+            F.col("b.vec_id").alias("vec_id_b"),
+            _round6(
+                _dot(F.col("a.v"), F.col("b.v"))
+                / (F.col("a.nrm") * F.col("b.nrm"))
+            ).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= NEARDUP_MIN_COS)
+    )
+
+
+def _ranked_topk(scored: DataFrame) -> DataFrame:
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("vec_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= ANN_K)
+        .select("query_id", F.col("rank").cast("int").alias("rank"), "vec_id", "cosine")
+    )
+
+
+def ann_brute_topk(embs: DataFrame) -> DataFrame:
+    """(query_id, rank, vec_id, cosine) — exact cosine top-10 for query
+    vectors vec_id < 10 against the whole table (self excluded)."""
+    n = _vectors(embs)
+    q = n.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), F.col("nrm").alias("qn")
+    )
+    scored = (
+        F.broadcast(q)
+        .join(n, F.col("query_id") != F.col("vec_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            _round6(_dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("nrm"))).alias("cosine"),
+        )
+    )
+    return _ranked_topk(scored)
+
+
+def _sketch_bits(n: DataFrame) -> DataFrame:
+    """(vec_id, v, nrm, band_idx, band_val) — LSH band keys per vector."""
+    bits = [
+        (
+            _round6(
+                _dot(
+                    F.col("v"),
+                    F.array(*[F.lit(float(s)) for s in HYPERPLANES[p]]),
+                )
+            )
+            > 0
+        ).cast("int")
+        for p in range(LSH_PLANES)
+    ]
+    width = LSH_PLANES // LSH_BANDS
+    band_vals = [
+        sum(bits[b * width + j] * (1 << j) for j in range(width))
+        for b in range(LSH_BANDS)
+    ]
+    return n.select(
+        "vec_id",
+        "v",
+        "nrm",
+        F.posexplode(F.array(*[bv.cast("int") for bv in band_vals])).alias(
+            "band_idx", "band_val"
+        ),
+    )
+
+
+def ann_lsh_topk(embs: DataFrame) -> DataFrame:
+    """(query_id, rank, vec_id, cosine) — LSH-bucketed ANN: candidates
+    share >= 1 of 4 4-bit random-hyperplane bands with the query, then
+    exact cosine re-rank to top-10. Same output shape as brute force;
+    recall < 1 by design (measured in tests, not asserted equal)."""
+    n = _vectors(embs)
+    sk = _sketch_bits(n)
+    qsk = sk.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"),
+        F.col("band_idx").alias("qb"),
+        F.col("band_val").alias("qval"),
+    )
+    cand = (
+        F.broadcast(qsk)
+        .join(
+            sk,
+            on=[
+                F.col("qb") == F.col("band_idx"),
+                F.col("qval") == F.col("band_val"),
+                F.col("query_id") != F.col("vec_id"),
+            ],
+        )
+        .select("query_id", "qv", "qn", "vec_id", "v", "nrm")
+        .distinct()
+    )
+    scored = cand.select(
+        "query_id",
+        "vec_id",
+        _round6(_dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("nrm"))).alias("cosine"),
+    )
+    return _ranked_topk(scored)
+
+
+# --- DuckDB oracle SQL ----------------------------------------------------
+
+_SQL_DOT = (
+    "list_reduce(list_prepend(0.0, "
+    "list_transform(list_zip({a}, {b}), x -> x[1] * x[2])), (acc, v) -> acc + v)"
+)
+
+
+def _sql_dot(a: str, b: str) -> str:
+    return _SQL_DOT.format(a=a, b=b)
+
+
+_SQL_VECTORS = rf"""
+n AS (
+    SELECT vec_id::BIGINT AS vec_id, embedding::DOUBLE[] AS v,
+           sqrt({_sql_dot('embedding::DOUBLE[]', 'embedding::DOUBLE[]')}) AS nrm
+    FROM embeddings
+)"""
+
+SQL_COSINE_NEARDUP_PAIRS = rf"""
+WITH {_SQL_VECTORS}
+SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
+       round({_sql_dot('a.v', 'b.v')} / (a.nrm * b.nrm) + 1e-9, 6) AS cosine
+FROM n a JOIN n b ON a.vec_id < b.vec_id
+WHERE round({_sql_dot('a.v', 'b.v')} / (a.nrm * b.nrm) + 1e-9, 6) >= {NEARDUP_MIN_COS}
+"""
+
+SQL_ANN_BRUTE_TOPK = rf"""
+WITH {_SQL_VECTORS},
+scored AS (
+    SELECT q.vec_id AS query_id, n.vec_id,
+           round({_sql_dot('q.v', 'n.v')} / (q.nrm * n.nrm) + 1e-9, 6) AS cosine
+    FROM n q JOIN n ON q.vec_id < {N_QUERIES} AND q.vec_id <> n.vec_id
+),
+ranked AS (
+    SELECT query_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY cosine DESC, vec_id ASC)::INTEGER AS rank,
+           vec_id, cosine
+    FROM scored
+)
+SELECT query_id, rank, vec_id, cosine FROM ranked WHERE rank <= {ANN_K}
+"""
+
+
+def _sql_plane_literal(p: int) -> str:
+    return "[" + ", ".join(f"{float(s)}" for s in HYPERPLANES[p]) + "]"
+
+
+_W = LSH_PLANES // LSH_BANDS
+_SQL_BITS = ",\n           ".join(
+    f"(round({_sql_dot('v', _sql_plane_literal(p))} + 1e-9, 6) > 0)::INTEGER AS bit{p}"
+    for p in range(LSH_PLANES)
+)
+_SQL_BAND_VALS = ", ".join(
+    "(" + " + ".join(f"bit{b * _W + j} * {1 << j}" for j in range(_W)) + ")"
+    for b in range(LSH_BANDS)
+)
+
+SQL_ANN_LSH_TOPK = rf"""
+WITH {_SQL_VECTORS},
+bits AS (
+    SELECT vec_id, v, nrm,
+           {_SQL_BITS}
+    FROM n
+),
+sk AS (
+    SELECT vec_id, v, nrm,
+           unnest([{_SQL_BAND_VALS}]) AS band_val,
+           generate_subscripts([{", ".join("1" for _ in range(LSH_BANDS))}], 1) - 1
+               AS band_idx
+    FROM bits
+),
+cand AS (
+    SELECT DISTINCT q.vec_id AS query_id, q.v AS qv, q.nrm AS qn,
+           s.vec_id, s.v, s.nrm
+    FROM sk q JOIN sk s
+      ON q.band_idx = s.band_idx AND q.band_val = s.band_val
+     AND q.vec_id < {N_QUERIES} AND q.vec_id <> s.vec_id
+),
+scored AS (
+    SELECT query_id, vec_id,
+           round({_sql_dot('qv', 'v')} / (qn * nrm) + 1e-9, 6) AS cosine
+    FROM cand
+),
+ranked AS (
+    SELECT query_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY cosine DESC, vec_id ASC)::INTEGER AS rank,
+           vec_id, cosine
+    FROM scored
+)
+SELECT query_id, rank, vec_id, cosine FROM ranked WHERE rank <= {ANN_K}
+"""

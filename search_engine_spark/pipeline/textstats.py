@@ -1,0 +1,246 @@
+"""Text analysis over the documents corpus: token counting, quality
+scoring, language identification, winnowing fingerprints.
+
+These are the per-document text-metrics a training-data pipeline runs
+before filtering/dedup (C4/Gopher-style quality heuristics, re-expressed
+as deterministic DataFrame columns). Every formula is frozen here and
+mirrored exactly in the DuckDB oracle SQL in ``api_pipeline.py``.
+
+Scale notes (100 TB): all of this is per-row column arithmetic + one
+``groupBy(doc_id)`` whose input was just exploded from the same row —
+Catalyst plans a partial aggregate before the shuffle, and the shuffle
+key (doc_id) is unique per input row, so there is no skew by
+construction. No Python runs anywhere (regexp/md5/array higher-order
+functions are JVM expressions inside whole-stage codegen).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .common import hash60_col, round6_col, sql_hash60, sql_words, words_col
+
+# Frozen marker-word profiles for the n-gram/stopword language-ID
+# heuristic. Overlaps across languages are deliberate (real function
+# words collide); scoring counts per-language hits.
+LANG_PROFILES: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "it", "for", "a"],
+    "de": ["der", "die", "das", "und", "nicht", "ist", "ich", "mit", "ein", "zu"],
+    "fr": ["le", "la", "les", "et", "des", "est", "une", "que", "dans", "pour"],
+    "es": ["el", "los", "las", "una", "que", "de", "por", "con", "para", "es"],
+}
+
+STOPWORDS_EN = LANG_PROFILES["en"] + ["on", "as", "with", "at", "by"]
+
+WINNOW_WINDOW = 4  # winnowing window (in grams)
+
+
+def text_stats(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_chars, n_tokens, n_ws_tokens, n_bpe_pieces, n_types,
+    ttr, avg_token_len, punct_ratio, stopword_ratio, quality_score)
+
+    - ``n_tokens``: ``\\w+`` word count; ``n_ws_tokens``: whitespace-run
+      count; ``n_bpe_pieces``: a BPE-pre-tokenizer-like segmentation
+      (letter runs | digit runs | single punctuation marks).
+    - ``ttr``: type/token ratio; ``punct_ratio``: non-word, non-space
+      chars per char; ``stopword_ratio``: EN stopword share.
+    - ``quality_score``: frozen heuristic blend in [0, 1] —
+      0.4*stopword_presence + 0.3*length_term + 0.3*ttr_band.
+    All ratios rounded to 6dp (cross-engine float stability).
+    """
+    w = words_col("text")
+    lower = F.lower(F.col("text"))
+    n_tokens = F.size(w)
+    n_chars = F.length("text")
+    n_types = F.size(F.array_distinct(w))
+    sum_len = F.aggregate(
+        F.transform(w, lambda t: F.length(t)), F.lit(0), lambda a, x: a + x
+    )
+    n_punct = F.size(F.regexp_extract_all(F.col("text"), F.lit(r"[^\w\s]"), 0))
+    n_stop = F.size(
+        F.filter(w, lambda t: t.isin(*[F.lit(s) for s in STOPWORDS_EN]))
+    )
+    ttr = round6_col(n_types / F.greatest(n_tokens, F.lit(1)))
+    stop_ratio = round6_col(n_stop / F.greatest(n_tokens, F.lit(1)))
+    quality = round6_col(
+        F.lit(0.4) * F.least(stop_ratio * 4.0, F.lit(1.0))
+        + F.lit(0.3) * F.least(n_tokens / F.lit(200.0), F.lit(1.0))
+        + F.lit(0.3) * ttr
+    )
+    return docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        n_chars.cast("long").alias("n_chars"),
+        n_tokens.cast("long").alias("n_tokens"),
+        F.size(F.regexp_extract_all(lower, F.lit(r"[^\s]+"), 0))
+        .cast("long")
+        .alias("n_ws_tokens"),
+        F.size(F.regexp_extract_all(lower, F.lit(r"[a-z]+|[0-9]+|[^a-z0-9\s]"), 0))
+        .cast("long")
+        .alias("n_bpe_pieces"),
+        n_types.cast("long").alias("n_types"),
+        ttr.alias("ttr"),
+        round6_col(sum_len / F.greatest(n_tokens, F.lit(1))).alias("avg_token_len"),
+        round6_col(n_punct / F.greatest(n_chars, F.lit(1))).alias("punct_ratio"),
+        stop_ratio.alias("stopword_ratio"),
+        quality.alias("quality_score"),
+    )
+
+
+def lang_id(docs: DataFrame) -> DataFrame:
+    """(doc_id, lang_pred, lang_score) — argmax of per-language marker-word
+    hit ratio; ties break language ASC; zero hits -> 'und'/0.0.
+
+    Scale note: the profile table is a literal array expression evaluated
+    per row — no join, no shuffle; a 100 TB corpus scans once.
+    """
+    w = words_col("text")
+    n_tokens = F.greatest(F.size(w), F.lit(1))
+    scores = [
+        (
+            lang,
+            round6_col(
+                F.size(F.filter(w, lambda t: t.isin(*[F.lit(m) for m in marks])))
+                / n_tokens
+            ),
+        )
+        for lang, marks in sorted(LANG_PROFILES.items())
+    ]
+    # argmax with lang-ASC tie-break: fold over (score, lang) pairs.
+    best_score = F.greatest(*[s for _, s in scores])
+    pred = F.lit("und")
+    for lang, s in reversed(scores):  # earlier langs win ties -> apply last
+        pred = F.when(s == best_score, F.lit(lang)).otherwise(pred)
+    pred = F.when(best_score > 0, pred).otherwise(F.lit("und"))
+    return docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        pred.alias("lang_pred"),
+        F.when(best_score > 0, best_score).otherwise(F.lit(0.0)).alias("lang_score"),
+    )
+
+
+def fingerprints(docs: DataFrame) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer et al., MOSS):
+    hash word 3-grams, slide a 4-gram window, keep each window's min.
+
+    Output: (doc_id, n_fingerprints, fp_min, fp_xor) — a compact sketch
+    row per document (fp_xor = XOR of the distinct selected hashes, an
+    order-insensitive digest).
+
+    Scale note: posexplode + a bounded window over (doc_id, pos) —
+    the window partitions by doc_id, so state per task is one document's
+    gram list; no cross-document shuffle beyond the doc_id hash
+    partition. Docs shorter than 3 words yield no grams and are absent
+    from the output (same on the oracle side).
+    """
+    w = words_col("text")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(w) - 2),
+        lambda i: F.concat_ws(
+            " ", F.element_at(w, i), F.element_at(w, i + 1), F.element_at(w, i + 2)
+        ),
+    )
+    grams = F.when(F.size(w) >= 3, grams).otherwise(F.array().cast("array<string>"))
+    g = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.posexplode(grams).alias("pos", "gram"),
+    ).select("doc_id", "pos", hash60_col(F.col("gram")).alias("h"))
+    win = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.currentRow, WINNOW_WINDOW - 1)
+    )
+    fp = g.select("doc_id", F.min("h").over(win).alias("fp")).distinct()
+    return fp.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_fingerprints"),
+        F.min("fp").alias("fp_min"),
+        F.expr("bit_xor(fp)").alias("fp_xor"),
+    )
+
+
+# --- DuckDB oracle fragments ----------------------------------------------
+
+_STOP_LIST = ", ".join(f"'{s}'" for s in STOPWORDS_EN)
+
+SQL_TEXT_STATS = rf"""
+WITH base AS (
+    SELECT doc_id::BIGINT AS doc_id, text,
+           {sql_words('text')} AS w,
+           length(text) AS n_chars
+    FROM documents
+)
+SELECT doc_id,
+       n_chars::BIGINT AS n_chars,
+       len(w)::BIGINT AS n_tokens,
+       len(regexp_extract_all(lower(text), '[^\s]+'))::BIGINT AS n_ws_tokens,
+       len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]'))::BIGINT
+           AS n_bpe_pieces,
+       len(list_distinct(w))::BIGINT AS n_types,
+       round(len(list_distinct(w)) / greatest(len(w), 1)::DOUBLE + 1e-9, 6) AS ttr,
+       round(list_reduce(list_prepend(0, list_transform(w, t -> length(t))),
+                         (a, x) -> a + x) / greatest(len(w), 1)::DOUBLE + 1e-9, 6)
+           AS avg_token_len,
+       round(len(regexp_extract_all(text, '[^\w\s]'))
+             / greatest(n_chars, 1)::DOUBLE + 1e-9, 6) AS punct_ratio,
+       round(len(list_filter(w, t -> t IN ({_STOP_LIST})))
+             / greatest(len(w), 1)::DOUBLE + 1e-9, 6) AS stopword_ratio,
+       round(0.4::DOUBLE * least(round(len(list_filter(w, t -> t IN ({_STOP_LIST})))
+                               / greatest(len(w), 1)::DOUBLE + 1e-9, 6) * 4.0::DOUBLE, 1.0::DOUBLE)
+             + 0.3::DOUBLE * least(len(w) / 200.0::DOUBLE, 1.0::DOUBLE)
+             + 0.3::DOUBLE * round(len(list_distinct(w)) / greatest(len(w), 1)::DOUBLE + 1e-9, 6)
+             + 1e-9,
+             6) AS quality_score
+FROM base
+"""
+
+_LANG_SCORE_SQL = {
+    lang: (
+        "round(len(list_filter(w, t -> t IN ({marks}))) "
+        "/ greatest(len(w), 1)::DOUBLE + 1e-9, 6)"
+    ).format(marks=", ".join(f"'{m}'" for m in marks))
+    for lang, marks in sorted(LANG_PROFILES.items())
+}
+
+_BEST = "greatest(" + ", ".join(f"s_{lang}" for lang in _LANG_SCORE_SQL) + ")"
+_PRED_CASE = (
+    "CASE WHEN " + _BEST + " = 0 THEN 'und' "
+    + " ".join(
+        f"WHEN s_{lang} = {_BEST} THEN '{lang}'" for lang in _LANG_SCORE_SQL
+    )
+    + " END"
+)
+
+SQL_LANG_ID = rf"""
+WITH base AS (
+    SELECT doc_id::BIGINT AS doc_id, {sql_words('text')} AS w FROM documents
+),
+scored AS (
+    SELECT doc_id,
+           {", ".join(f"{expr} AS s_{lang}" for lang, expr in _LANG_SCORE_SQL.items())}
+    FROM base
+)
+SELECT doc_id, {_PRED_CASE} AS lang_pred,
+       CASE WHEN {_BEST} > 0 THEN {_BEST} ELSE 0.0 END AS lang_score
+FROM scored
+"""
+
+SQL_FINGERPRINTS = rf"""
+WITH base AS (
+    SELECT doc_id::BIGINT AS doc_id, {sql_words('text')} AS w FROM documents
+),
+grams AS (
+    SELECT doc_id, i AS pos,
+           {sql_hash60("w[i] || ' ' || w[i+1] || ' ' || w[i+2]")} AS h
+    FROM base, unnest(range(1, greatest(len(w) - 1, 1))) AS t(i)
+),
+winmin AS (
+    SELECT DISTINCT doc_id,
+           min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                        ROWS BETWEEN CURRENT ROW AND {WINNOW_WINDOW - 1} FOLLOWING)
+               AS fp
+    FROM grams
+)
+SELECT doc_id, count(*)::BIGINT AS n_fingerprints,
+       min(fp) AS fp_min, bit_xor(fp) AS fp_xor
+FROM winmin GROUP BY doc_id
+"""

@@ -1,0 +1,109 @@
+"""Unit tests for the pipeline kernels: cross-engine hash parity, shingle
+edge cases, LSH recall sanity, multimodal stub behavior."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from search_engine_spark.pipeline import embeddings as emb
+from search_engine_spark.pipeline import multimodal
+from search_engine_spark.pipeline.common import (
+    hash60_col,
+    shingles_col,
+    sql_hash60,
+    sql_shingles,
+    sql_words,
+    words_col,
+)
+
+
+def test_hash60_parity(spark):
+    """Spark conv(md5[:15],16,10) == DuckDB ('0x'||md5[:15])::BIGINT."""
+    samples = ["", "a", "abc", "the quick brown fox", "0|w1 w2 w3", "ünïcødé"]
+    sdf = spark.createDataFrame([(s,) for s in samples], ["s"]).select(
+        "s", hash60_col(F.col("s")).alias("h")
+    )
+    got = {r.s: r.h for r in sdf.collect()}
+    con = duckdb.connect()
+    for s in samples:
+        (exp,) = con.execute(
+            f"SELECT {sql_hash60('?')}", [s]
+        ).fetchone()
+        assert got[s] == exp, s
+
+
+def test_shingles_parity_and_short_docs(spark):
+    texts = [
+        "a b c d e",
+        "one two",        # < 3 words -> no shingles
+        "x",              # single word
+        "",               # empty
+        "p q r",          # exactly one shingle
+        "t t t t",        # duplicate shingles deduped
+    ]
+    sdf = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], ["i", "text"])
+    got = {
+        r.i: sorted(r.sh)
+        for r in sdf.select("i", shingles_col(words_col("text")).alias("sh")).collect()
+    }
+    con = duckdb.connect()
+    for i, t in enumerate(texts):
+        (exp,) = con.execute(
+            f"SELECT {sql_shingles('w')} FROM (SELECT {sql_words('?')} AS w)", [t]
+        ).fetchone()
+        assert got[i] == sorted(exp), f"text={t!r}"
+    assert got[1] == [] and got[2] == [] and got[3] == []
+    assert got[4] == ["p q r"]
+    assert got[5] == ["t t t"]
+
+
+def test_hyperplanes_deterministic():
+    assert len(emb.HYPERPLANES) == emb.LSH_PLANES
+    assert all(len(p) == emb.EMB_DIM for p in emb.HYPERPLANES)
+    assert all(s in (-1, 1) for p in emb.HYPERPLANES for s in p)
+    # frozen spot-checks: regenerating must not drift
+    assert emb.HYPERPLANES[0][:4] == [emb._plane_sign(0, d) for d in range(4)]
+
+
+def test_lsh_recall_reasonable(spark):
+    """LSH ANN must be a subset-ish of brute force with nontrivial recall
+    (same corpus, same k). Not rank-identical by design."""
+    sf = "/root/testdata/sf0.001"
+    brute = {
+        (r.query_id, r.vec_id)
+        for r in emb.ann_brute_topk(
+            spark.read.parquet(f"{sf}/embeddings.parquet")
+        ).collect()
+    }
+    lsh = {
+        (r.query_id, r.vec_id)
+        for r in emb.ann_lsh_topk(
+            spark.read.parquet(f"{sf}/embeddings.parquet")
+        ).collect()
+    }
+    recall = len(brute & lsh) / len(brute)
+    assert recall > 0.2, f"LSH recall collapsed: {recall:.2f}"
+
+
+def test_multimodal_stub_raises():
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_image(b"\x00")
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_audio(b"\x00")
+
+
+def test_video_frames_shape(spark):
+    sf = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    media = multimodal.media_from_documents(docs)
+    frames = multimodal.sample_frames(media)
+    pdf = frames.toPandas()
+    # only video docs (doc_id % 3 == 2), 1..7 frames each, hashes unique
+    assert set(pdf.media_id % 3) == {2}
+    per = pdf.groupby("media_id").frame_idx.agg(["min", "max", "count"])
+    assert (per["min"] == 0).all()
+    assert (per["count"] == per["max"] + 1).all()
+    assert per["count"].between(1, 7).all()
+    assert pdf.frame_hash.is_unique

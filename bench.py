@@ -43,18 +43,30 @@ def make_spark(cores: int, shuffle_partitions: int | None = None):
     # machine's: in multi-process runs each JVM otherwise spawns ~23 GC
     # threads + full-size netty/compiler pools for all 32 visible CPUs,
     # and 4 such JVMs thrash each other off the cores they're meant to use.
+    #
+    # AlwaysPreTouch + Xms=Xmx: this sandbox's microVM backs guest memory
+    # lazily, and first-touch page faults are ~100x slower than normal
+    # (and serialize across processes). Pre-faulting the whole heap at JVM
+    # startup moves that cost out of the measured job — on real iron this
+    # is also the standard throughput-cluster setting.
+    mem = os.environ.get("SPARK_DRIVER_MEM", "8g")
     jvm_opts = (
         f"-XX:+UseParallelGC "
         f"-XX:ParallelGCThreads={max(2, cores)} "
         f"-XX:CICompilerCount=2 "
+        f"-XX:+AlwaysPreTouch -Xms{mem} "
         f"-Dio.netty.eventLoopThreads={cores}"
     )
+    # Python workers: keep glibc from returning big numpy buffers via
+    # munmap — re-mmapped memory would re-fault (slowly) on every task.
+    os.environ.setdefault("MALLOC_MMAP_THRESHOLD_", str(1 << 30))
+    os.environ.setdefault("MALLOC_TRIM_THRESHOLD_", str(1 << 30))
     return (
         SparkSession.builder.master(f"local[{cores}]")
         .appName("search-engine-spark-bench")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions or cores))
         .config("spark.sql.adaptive.enabled", "true")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        .config("spark.driver.memory", mem)
         .config("spark.driver.extraJavaOptions", jvm_opts)
         .config("spark.ui.enabled", "false")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")

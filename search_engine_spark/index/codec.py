@@ -219,27 +219,56 @@ def encode_postings_batch(
     bterm_cum = np.zeros(n_terms + 1, dtype=np.int64)
     np.cumsum(nblocks_per_term, out=bterm_cum[1:])
 
+    # Single-block fast path: in a Zipf-tail corpus the vast majority of
+    # terms have df <= block_size (one block), whose 36-byte blockmeta is
+    # a fixed-width record — build them ALL in one structured-array write
+    # and slice per term, leaving the generic loop only for long terms.
+    single_dt = np.dtype(
+        [
+            ("nb", "<u4"), ("bs", "<u4"), ("last", "<i8"), ("mx", "<f4"),
+            ("d0", "<u4"), ("d1", "<u4"), ("t0", "<u4"), ("t1", "<u4"),
+        ]
+    )
+    assert single_dt.itemsize == 36
+    is_single = nblocks_per_term == 1
+    single_meta_buf = b""
+    single_pos = np.cumsum(is_single) - 1  # index into the packed records
+    if is_single.any():
+        si = np.flatnonzero(is_single)
+        rec = np.zeros(len(si), dtype=single_dt)
+        rec["nb"] = 1
+        rec["bs"] = block_size
+        rec["last"] = doc_idx[ends[si] - 1]
+        rec["mx"] = max_norms[bterm_cum[si]]
+        rec["d1"] = dcum[ends[si]] - dcum[starts[si]]
+        rec["t1"] = tcum[ends[si]] - tcum[starts[si]]
+        single_meta_buf = rec.tobytes()
+
     out: list[EncodedPostings] = []
     for t in range(n_terms):
         s, e = starts[t], ends[t]
-        bs, be = bterm_cum[t], bterm_cum[t + 1]
-        nb = be - bs
-        # Per-block byte offsets, relative to this term's streams.
-        block_pos = bstarts[bs:be]
-        docid_offs = np.empty(nb + 1, dtype=np.uint32)
-        docid_offs[:-1] = dcum[block_pos] - dcum[s]
-        docid_offs[-1] = dcum[e] - dcum[s]
-        tf_offs = np.empty(nb + 1, dtype=np.uint32)
-        tf_offs[:-1] = tcum[block_pos] - tcum[s]
-        tf_offs[-1] = tcum[e] - tcum[s]
-        header = np.array([nb, block_size], dtype=np.uint32)
-        blockmeta = (
-            header.tobytes()
-            + last_docids[bs:be].tobytes()
-            + max_norms[bs:be].tobytes()
-            + docid_offs.tobytes()
-            + tf_offs.tobytes()
-        )
+        if is_single[t]:
+            p = int(single_pos[t]) * 36
+            blockmeta = single_meta_buf[p : p + 36]
+        else:
+            bs, be = bterm_cum[t], bterm_cum[t + 1]
+            nb = be - bs
+            # Per-block byte offsets, relative to this term's streams.
+            block_pos = bstarts[bs:be]
+            docid_offs = np.empty(nb + 1, dtype=np.uint32)
+            docid_offs[:-1] = dcum[block_pos] - dcum[s]
+            docid_offs[-1] = dcum[e] - dcum[s]
+            tf_offs = np.empty(nb + 1, dtype=np.uint32)
+            tf_offs[:-1] = tcum[block_pos] - tcum[s]
+            tf_offs[-1] = tcum[e] - tcum[s]
+            header = np.array([nb, block_size], dtype=np.uint32)
+            blockmeta = (
+                header.tobytes()
+                + last_docids[bs:be].tobytes()
+                + max_norms[bs:be].tobytes()
+                + docid_offs.tobytes()
+                + tf_offs.tobytes()
+            )
         postings = (
             docid_bytes[dcum[s] : dcum[e]] + tf_bytes[tcum[s] : tcum[e]]
         )

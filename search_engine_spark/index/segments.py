@@ -63,7 +63,7 @@ from .codec import bm25_norm, encode_postings_batch
 SEGMENT_SCHEMA = StructType(
     [
         StructField("bucket", IntegerType(), False),
-        StructField("term", StringType(), False),
+        StructField("term_hash", LongType(), False),
         StructField("df", LongType(), False),
         StructField("postings", BinaryType(), False),
         StructField("blockmeta", BinaryType(), False),
@@ -146,6 +146,13 @@ def build_segments(
     if missing:
         with _phase("docmeta"):
             _write_docmeta(spark, toks, out, missing)
+    # Lexicon (term string <-> xxhash64 key): segments carry only the
+    # int64 hash in their hot path; the full-corpus lexicon is tiny
+    # (map-side distinct collapses occurrences to the vocabulary before
+    # the shuffle) and rebuilt idempotently whenever buckets change.
+    if missing or not (out / "lexicon").exists():
+        with _phase("lexicon"):
+            _write_lexicon(spark, toks, out)
 
     # Corpus stats from docmeta — no extra tokenize pass over the corpus.
     stats_path = out / "stats.json"
@@ -235,15 +242,18 @@ def _build_buckets(
 
     # Single-shuffle plan for the corpus-sized data: join doc_idx at the
     # DOCUMENT level (one row per doc — a small join, never a
-    # postings-sized sort-merge), explode to occurrences, and move them
-    # ONCE (repartition by bucket) into a cogrouped Arrow kernel that
-    # does tf-counting + sort + batch-encode vectorized. tf aggregation
-    # in the kernel instead of a groupBy avoids a second corpus-sized
-    # shuffle+sort: Zipf-tail (doc, term) pairs are mostly unique, so a
-    # pre-aggregation shuffle would carry ~the same rows anyway.
+    # postings-sized sort-merge), explode to occurrences keyed by the
+    # term's xxhash64 (fixed-width int64 — no strings in the big shuffle
+    # or the Arrow hop; strings live in the tiny lexicon table), and move
+    # them ONCE (repartition by bucket) into a cogrouped Arrow kernel
+    # that does tf-counting + sort + batch-encode vectorized. tf
+    # aggregation in the kernel instead of a groupBy avoids a second
+    # corpus-sized shuffle+sort: Zipf-tail (doc, term) pairs are mostly
+    # unique, so a pre-aggregation shuffle would carry ~the same rows.
     occurrences = (
         toks_f.join(docmeta_r.select("bucket", "url", "doc_idx"), ["bucket", "url"])
         .select("bucket", "doc_idx", F.explode("tokens").alias("term"))
+        .select("bucket", "doc_idx", F.xxhash64("term").alias("th"))
         .repartition(len(todo_set), "bucket")
     )
 
@@ -253,23 +263,23 @@ def _build_buckets(
             return pd.DataFrame(
                 {c: pd.Series(dtype=t)
                  for c, t in zip(
-                     ["bucket", "term", "df", "postings", "blockmeta", "encode_secs"],
-                     ["int64", "object", "int64", "object", "object", "float64"],
+                     ["bucket", "term_hash", "df", "postings", "blockmeta", "encode_secs"],
+                     ["int64", "int64", "int64", "object", "object", "float64"],
                  )}
             )
         bucket = int(occ["bucket"].iloc[0])
-        codes, uniques = pd.factorize(occ["term"], sort=True)
+        th = occ["th"].to_numpy(dtype=np.int64)
         doc_idx = occ["doc_idx"].to_numpy(dtype=np.int64)
-        order = np.lexsort((doc_idx, codes))
-        codes_s = codes[order]
+        order = np.lexsort((doc_idx, th))
+        th_s = th[order]
         docs_s = doc_idx[order]
         # tf run-length over sorted (term, doc): one posting per run.
         new_run = np.concatenate(
-            ([True], (codes_s[1:] != codes_s[:-1]) | (docs_s[1:] != docs_s[:-1]))
+            ([True], (th_s[1:] != th_s[:-1]) | (docs_s[1:] != docs_s[:-1]))
         )
         run_starts = np.flatnonzero(new_run)
-        run_ends = np.concatenate((run_starts[1:], [len(codes_s)]))
-        p_codes = codes_s[run_starts]
+        run_ends = np.concatenate((run_starts[1:], [len(th_s)]))
+        p_th = th_s[run_starts]
         p_docs = docs_s[run_starts]
         p_tfs = (run_ends - run_starts).astype(np.int64)
         # dl lookup via the cogrouped docmeta (doc_idx is dense 0..n-1).
@@ -278,18 +288,18 @@ def _build_buckets(
             "dl"
         ].to_numpy(dtype=np.int64)
         norms = bm25_norm(p_tfs, dl_lookup[p_docs], avgdl=avgdl, k1=k1, b=b)
-        # Term-group bounds over the posting runs (codes are sorted).
+        # Term-group bounds over the posting runs (hashes are sorted).
         t_change = np.flatnonzero(
-            np.concatenate(([True], p_codes[1:] != p_codes[:-1]))
+            np.concatenate(([True], p_th[1:] != p_th[:-1]))
         )
-        bounds = np.concatenate((t_change, [len(p_codes)]))
+        bounds = np.concatenate((t_change, [len(p_th)]))
         starts, ends = bounds[:-1], bounds[1:]
         encoded = encode_postings_batch(p_docs, p_tfs, norms, starts, ends)
         secs = time.monotonic() - t_start
         res = pd.DataFrame(
             {
                 "bucket": np.full(len(starts), bucket, dtype=np.int64),
-                "term": uniques.to_numpy()[p_codes[starts]],
+                "term_hash": p_th[starts],
                 "df": (ends - starts).astype(np.int64),
                 "postings": [e.postings for e in encoded],
                 "blockmeta": [e.blockmeta for e in encoded],
@@ -371,11 +381,26 @@ def _build_buckets(
     )
 
 
+def _write_lexicon(spark: SparkSession, toks, out: Path) -> None:
+    lex = (
+        toks.select(F.explode(F.array_distinct("tokens")).alias("term"))
+        .distinct()
+        .select("term", F.xxhash64("term").alias("term_hash"))
+        # Deterministic single sorted file: the resume test asserts
+        # byte-identical indexes, and the table is vocabulary-sized.
+        .repartition(1)
+        .sortWithinPartitions("term")
+    )
+    lex.write.mode("overwrite").parquet(str(out / "lexicon"))
+
+
 def _write_termstats(spark: SparkSession, out: Path, n_docs: int) -> None:
     seg = spark.read.parquet(str(out / "segments"))
+    lex = spark.read.parquet(str(out / "lexicon"))
     ts = (
-        seg.groupBy("term")
+        seg.groupBy("term_hash")
         .agg(F.sum("df").cast("long").alias("df"))
+        .join(lex, "term_hash")
         .withColumn(
             "idf",
             F.log(
@@ -384,6 +409,7 @@ def _write_termstats(spark: SparkSession, out: Path, n_docs: int) -> None:
                 / (F.col("df") + F.lit(0.5))
             ),
         )
+        .select("term", "term_hash", "df", "idf")
     )
     ts.write.mode("overwrite").parquet(str(out / "termstats"))
 
@@ -392,8 +418,19 @@ def load_stats(out_dir: str) -> dict:
     return json.loads((Path(out_dir) / "stats.json").read_text())
 
 
-def read_segments(spark: SparkSession, out_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{out_dir}/segments")
+def read_segments(
+    spark: SparkSession, out_dir: str, with_terms: bool = False
+) -> DataFrame:
+    seg = spark.read.parquet(f"{out_dir}/segments")
+    if with_terms:
+        seg = seg.join(
+            F.broadcast(read_lexicon(spark, out_dir)), "term_hash"
+        )
+    return seg
+
+
+def read_lexicon(spark: SparkSession, out_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{out_dir}/lexicon")
 
 
 def read_docmeta(spark: SparkSession, out_dir: str) -> DataFrame:

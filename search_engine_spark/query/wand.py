@@ -169,14 +169,18 @@ def wand_topk(
         .collect()
     )
     idf = {r.term: r.idf for r in ts}
+    # Segments are keyed by the term's xxhash64; termstats carries the
+    # (term, term_hash) mapping for exactly the query vocabulary, so the
+    # segment scan prunes on an int64 predicate (parquet stats friendly).
+    term_hash = {r.term: r.term_hash for r in ts}
     bc = spark.sparkContext.broadcast(
-        {"query_terms": query_terms, "idf": idf, "avgdl": avgdl, "k1": k1,
-         "b": b, "k": k, "index_dir": index_dir}
+        {"query_terms": query_terms, "idf": idf, "term_hash": term_hash,
+         "avgdl": avgdl, "k1": k1, "b": b, "k": k, "index_dir": index_dir}
     )
 
     seg = spark.read.parquet(f"{index_dir}/segments").filter(
-        F.col("term").isin(all_terms)
-    ).select("bucket", "term", "postings", "blockmeta")
+        F.col("term_hash").isin(list(term_hash.values()))
+    ).select("bucket", "term_hash", "postings", "blockmeta")
 
     def run_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
         import pyarrow.parquet as pq
@@ -188,21 +192,22 @@ def wand_topk(
         )
         order = np.argsort(dm["doc_idx"].to_numpy())
         dls = dm["dl"].to_numpy()[order].astype(np.int64)
-        by_term = {
-            t: (p, m)
-            for t, p, m in zip(pdf["term"], pdf["postings"], pdf["blockmeta"])
+        by_hash = {
+            h: (p, m)
+            for h, p, m in zip(pdf["term_hash"], pdf["postings"], pdf["blockmeta"])
         }
+        t2h = cfg["term_hash"]
         rows = []
         for qid, qt in cfg["query_terms"].items():
             entries = [
                 {
-                    "postings": by_term[t][0],
-                    "blockmeta": by_term[t][1],
+                    "postings": by_hash[t2h[t]][0],
+                    "blockmeta": by_hash[t2h[t]][1],
                     "idf": cfg["idf"][t],
                     "qtf": n,
                 }
                 for t, n in qt.items()
-                if t in by_term and t in cfg["idf"]
+                if t in t2h and t2h[t] in by_hash and t in cfg["idf"]
             ]
             for doc_idx, score in maxscore_topk(
                 entries, dls, cfg["avgdl"], cfg["k"], cfg["k1"], cfg["b"]

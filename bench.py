@@ -36,7 +36,11 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
 
-def make_spark(cores: int, shuffle_partitions: int | None = None):
+def make_spark(
+    cores: int,
+    shuffle_partitions: int | None = None,
+    max_partition_bytes: int | None = None,
+):
     from pyspark.sql import SparkSession
 
     # Size JVM service threads to the session's core budget, not the
@@ -71,6 +75,17 @@ def make_spark(cores: int, shuffle_partitions: int | None = None):
         .config("spark.ui.enabled", "false")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.local.dir", os.environ.get("SPARK_LOCAL_DIRS", "/tmp"))
+        # v2 commit: per-task direct rename instead of a serial driver-side
+        # job-commit pass — the segment write commits hundreds of bucket
+        # directories, and the v1 job commit is a non-parallel tail.
+        .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
+        # In map-side index mode, read splits ARE the work units: keep
+        # them small enough that every core gets several waves (the
+        # default 128MB packs small files into too few partitions).
+        .config(
+            "spark.sql.files.maxPartitionBytes",
+            str(max_partition_bytes or 128 * 1024 * 1024),
+        )
         .getOrCreate()
     )
 
@@ -141,20 +156,63 @@ def bench_index_build(spark, sf_dir: str, out_dir: str) -> dict:
     }
 
 
+def bench_query_latency(spark, sf_dir: str, out_dir: str) -> dict:
+    """BM25 top-k serving latency over a prebuilt segment index
+    (BASELINE.md row 9: p50 over the reference query set, block-max
+    MaxScore path). The index build is NOT in the timed path."""
+    import shutil
+    import statistics
+
+    from pyspark.sql import functions as F
+
+    from search_engine_spark.corpus import REFERENCE_QUERIES, load_table
+    from search_engine_spark.index.segments import build_segments
+    from search_engine_spark.query.wand import wand_topk
+
+    shutil.rmtree(out_dir, ignore_errors=True)
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("url"), "text"
+    )
+    build_segments(spark, docs, out_dir, n_buckets=32, run_id="latency-bench")
+    # warmup (codegen + python workers) outside the timings
+    warm = spark.createDataFrame(
+        [("warm", REFERENCE_QUERIES[0])], ["query_id", "query_string"]
+    )
+    wand_topk(spark, out_dir, warm).collect()
+    lat = []
+    for i, q in enumerate(REFERENCE_QUERIES):
+        qdf = spark.createDataFrame(
+            [(f"q{i + 1:02d}", q)], ["query_id", "query_string"]
+        )
+        t0 = time.monotonic()
+        wand_topk(spark, out_dir, qdf).collect()
+        lat.append(time.monotonic() - t0)
+    shutil.rmtree(out_dir, ignore_errors=True)
+    lat_sorted = sorted(lat)
+    return {
+        "p50_sec": round(statistics.median(lat), 3),
+        "p95_sec": round(lat_sorted[int(0.95 * (len(lat) - 1))], 3),
+        "mean_sec": round(sum(lat) / len(lat), 3),
+        "n_queries": len(lat),
+    }
+
+
 def run_default() -> dict:
     spark = make_spark(CPUS)
     try:
         timings = bench_queries(spark, SF_DIR)
         index = bench_index_build(spark, SF_DIR, "/tmp/bench-segidx")
+        latency = bench_query_latency(spark, SF_DIR, "/tmp/bench-latidx")
         total = round(sum(timings.values()), 3)
         return {
-            "metric": "headline query wall time (sum) at sf; index-build throughput in `index`",
+            "metric": "headline query wall time (sum) at sf; index-build throughput in `index`; BM25 top-k serving latency in `query_latency`",
             "value": total,
             "unit": "sec",
             "queries": timings,
             "sf": _sf_of(SF_DIR),
             "cores": CPUS,
             "index": index,
+            "query_latency": latency,
         }
     finally:
         spark.stop()
@@ -182,7 +240,11 @@ def scaling_worker(cores: int, start: int, n_pages: int, out_dir: str, seed: int
     # Cache key includes the slice: reruns at a different size/offset/seed
     # must not silently reuse another corpus.
     pages_path = f"{out_dir}-pages-s{seed}-o{start}-n{n_pages}"
-    spark = make_spark(cores, shuffle_partitions=max(cores * 2, 32))
+    spark = make_spark(
+        cores,
+        shuffle_partitions=max(cores * 2, 32),
+        max_partition_bytes=16 * 1024 * 1024,
+    )
     try:
         n_parts = max(cores * 2, 32)
         if not os.path.exists(f"{pages_path}/_SUCCESS"):
@@ -191,10 +253,11 @@ def scaling_worker(cores: int, start: int, n_pages: int, out_dir: str, seed: int
                 spark, n_pages, seed=seed, partitions=n_parts, start=start
             ).write.mode("overwrite").parquet(pages_path)
         pages = spark.read.parquet(pages_path)
-        n_buckets = max(n_parts, n_pages // 8000)
         t0 = time.monotonic()
+        # n_buckets=0: map-side mode — each input partition is a bucket;
+        # the corpus never shuffles (the design whose scaling we measure).
         build_segments(
-            spark, pages, out_dir, n_buckets=n_buckets, run_id=f"scale-{start}"
+            spark, pages, out_dir, n_buckets=0, run_id=f"scale-{start}"
         )
         wall = time.monotonic() - t0
     finally:
@@ -271,6 +334,93 @@ def _run_workers(n_workers: int, cores_each: int, n_pages: int, seed: int) -> di
     }
 
 
+def run_scaling_concurrent(base_cores: int, n_pages: int, seed: int = 42) -> dict:
+    """Cores-mode scaling with both levels run SIMULTANEOUSLY on disjoint
+    pinned core sets (N cores vs 4N cores, same corpus, separate output
+    dirs). This sandbox's host performance drifts by 2x over minutes —
+    sequential lo/hi runs can see different machines; concurrent runs see
+    identical conditions, so the wall-clock ratio is meaningful. The two
+    jobs touch disjoint CPUs and their combined load stays well under the
+    machine size, so cross-talk is limited to shared memory bandwidth
+    (which a real cluster's co-located executors share too)."""
+    import subprocess
+
+    # ensure the shared input corpus exists before both workers race
+    _run_pages_cache(base_cores * 4, 0, n_pages, seed)
+    procs = []
+    for label, cores, rng, out in [
+        ("low", base_cores, f"0-{base_cores - 1}", "/tmp/scale-conc-lo"),
+        ("high", base_cores * 4,
+         f"{base_cores}-{5 * base_cores - 1}", "/tmp/scale-conc-hi"),
+    ]:
+        cmd = ["taskset", "-c", rng, sys.executable, __file__,
+               "--scaling-worker", str(cores), "0", str(n_pages), out, str(seed)]
+        env = dict(os.environ, SPARK_LOCAL_DIRS=f"/dev/shm/spark-{label}")
+        procs.append((label, cores, subprocess.Popen(
+            cmd, stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, env=env)))
+    res = {}
+    for label, cores, p in procs:
+        out_, _ = p.communicate()
+        if p.returncode != 0:
+            raise RuntimeError(f"{label} worker failed rc={p.returncode}")
+        secs = json.loads(out_.decode().strip().splitlines()[-1])["build_secs"]
+        res[label] = {"cores": cores, "build_secs": secs,
+                      "docs_per_sec": round(n_pages / secs, 1)}
+    import shutil as _sh
+
+    for label in ("low", "high"):
+        _sh.rmtree(f"/dev/shm/spark-{label}", ignore_errors=True)
+    eff = (res["high"]["docs_per_sec"] / res["low"]["docs_per_sec"]) / 4.0
+    return {
+        "metric": "index-build scaling efficiency N->4N (concurrent cores)",
+        "value": round(eff, 3),
+        "unit": "efficiency",
+        "n_pages": n_pages,
+        "low": res["low"],
+        "high": res["high"],
+    }
+
+
+def _run_pages_cache(cores: int, start: int, n_pages: int, seed: int) -> None:
+    """Materialize the shared synthetic corpus parquet once (untimed).
+
+    Workers key their pages cache by (seed, start, n) but prefix it with
+    their out_dir; give both concurrent workers the same prefix-free
+    corpus by pre-generating under each worker's expected path via
+    symlink-compatible naming: we simply pre-run generation through a
+    throwaway worker dir for each expected path."""
+    import shutil as _sh
+
+    for out in ("/tmp/scale-conc-lo", "/tmp/scale-conc-hi"):
+        pages_path = f"{out}-pages-s{seed}-o{start}-n{n_pages}"
+        if os.path.exists(f"{pages_path}/_SUCCESS"):
+            continue
+        src = None
+        for cand in ("/tmp/scale-conc-lo", "/tmp/scale-conc-hi",
+                     "/tmp/scaling-segidx-1w0"):
+            c = f"{cand}-pages-s{seed}-o{start}-n{n_pages}"
+            if os.path.exists(f"{c}/_SUCCESS"):
+                src = c
+                break
+        if src and src != pages_path:
+            try:
+                os.symlink(src, pages_path)
+                continue
+            except OSError:
+                _sh.copytree(src, pages_path)
+                continue
+        spark = make_spark(cores, shuffle_partitions=max(cores * 2, 32))
+        try:
+            from search_engine_spark.corpus import synth_pages
+
+            synth_pages(
+                spark, n_pages, seed=seed,
+                partitions=max(cores * 2, 32), start=start,
+            ).write.mode("overwrite").parquet(pages_path)
+        finally:
+            spark.stop()
+
+
 def run_scaling(base_cores: int, n_pages: int, seed: int = 42, mode: str = "procs") -> dict:
     """Two-cluster-size evidence (north_rule): the same job over the same
     corpus at N and 4N cores.
@@ -305,15 +455,17 @@ def main() -> None:
         return
     ap = argparse.ArgumentParser()
     ap.add_argument("--scaling", action="store_true")
-    ap.add_argument("--mode", choices=["procs", "cores"], default="procs")
+    ap.add_argument("--mode", choices=["procs", "cores", "concurrent"], default="concurrent")
     ap.add_argument("--base-cores", type=int, default=8)
     ap.add_argument("--pages", type=int, default=2_000_000)
     args = ap.parse_args()
-    result = (
-        run_scaling(args.base_cores, args.pages, mode=args.mode)
-        if args.scaling
-        else run_default()
-    )
+    if args.scaling:
+        if args.mode == "concurrent":
+            result = run_scaling_concurrent(args.base_cores, args.pages)
+        else:
+            result = run_scaling(args.base_cores, args.pages, mode=args.mode)
+    else:
+        result = run_default()
     print(json.dumps(result))
 
 

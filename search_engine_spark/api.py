@@ -260,9 +260,71 @@ FROM postings p JOIN (SELECT DISTINCT term FROM qterms) t USING (term)
 """
 
 
+def q_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML body-text extraction kernel (SURVEY.md §2 T2) through the
+    driver gate: wrap each document's text in an HTML envelope (with a
+    head to skip and an entity to decode), extract body text with the
+    Arrow kernel, and assert the byte-level result.
+
+    Extracted = text + " &co" (the <i>&amp;co</i> node joins with a
+    single space; the corpus contains no markup metacharacters, checked
+    at oracle-build time by construction of the synthetic corpus).
+    """
+    from .functions.extract import extract_text_udf
+
+    docs = load_table(spark, sf_dir, "documents")
+    html = F.concat(
+        F.lit("<html><head><title>skip me</title></head><body><p>"),
+        F.col("text"),
+        F.lit("</p><i>&amp;co</i></body></html>"),
+    )
+    return docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        extract_text_udf(F.encode(html, "utf-8"), F.lit("html")).alias("extracted"),
+    )
+
+
+_SQL_HTML_EXTRACT = """
+SELECT doc_id::BIGINT AS doc_id, text || ' &co' AS extracted FROM documents
+"""
+
+
+def q_json_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON flatten+tokenize kernel (SURVEY.md §2 T3) through the gate:
+    serialize (doc_id, lang, text) to JSON, run the recursive walk
+    (string values + object keys tokenized, numbers dropped), count
+    terms per document."""
+    from .functions.extract import doc_tokens_dispatch_udf
+
+    docs = load_table(spark, sf_dir, "documents")
+    j = F.to_json(F.struct("doc_id", "lang", "text"))
+    toks = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.explode(doc_tokens_dispatch_udf(j, F.lit("json"))).alias("term"),
+    )
+    return toks.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+
+
+_SQL_JSON_TOKENS = r"""
+SELECT doc_id, term, count(*)::BIGINT AS n FROM (
+    SELECT doc_id::BIGINT AS doc_id,
+           unnest(regexp_extract_all(lower(text), '[^\s]+')) AS term
+    FROM documents
+    UNION ALL
+    SELECT doc_id::BIGINT, unnest(['doc_id', 'lang', 'text']) FROM documents
+    UNION ALL
+    SELECT doc_id::BIGINT, lower(lang) FROM documents
+) GROUP BY doc_id, term
+"""
+
+
 from .api_pipeline import PIPELINE_ORACLES, PIPELINE_QUERIES  # noqa: E402
 
 QUERIES: dict = {
+    "html_extract": q_html_extract,
+    "json_tokens": q_json_tokens,
     "tfsum_topk": q_tfsum_topk,
     "bm25_topk": q_bm25_topk,
     "wand_topk": q_wand_topk,
@@ -273,6 +335,8 @@ QUERIES: dict = {
 }
 
 ORACLES: dict = {
+    "html_extract": _SQL_HTML_EXTRACT,
+    "json_tokens": _SQL_JSON_TOKENS,
     "tfsum_topk": _SQL_TFSUM,
     "bm25_topk": _SQL_BM25,
     # wand_topk must be rank-identical to brute-force BM25: same oracle.

@@ -75,13 +75,18 @@ def query_tokens_udf(queries: pd.Series) -> pd.Series:
 def doc_tokens_col(text: Column | str) -> Column:
     """JVM-side document tokenizer: non-whitespace runs of lower(text).
 
-    ASCII-identical to ``doc_tokens_py``; stays in whole-stage codegen.
+    ``(?U)`` makes Java's ``\\s`` match Unicode whitespace, so this is
+    identical to ``doc_tokens_py`` (Python ``str.split`` == Rust
+    ``split_whitespace``) on all inputs, not just ASCII — and identical
+    to the Arrow kernel's ``utf8_split_whitespace`` used by the map-side
+    index build. Stays in whole-stage codegen.
     """
     c = F.col(text) if isinstance(text, str) else text
-    return F.regexp_extract_all(F.lower(c), F.lit(r"[^\s]+"), 0)
+    return F.regexp_extract_all(F.lower(c), F.lit(r"(?U)[^\s]+"), 0)
 
 
 def query_tokens_col(query: Column | str) -> Column:
-    """JVM-side query tokenizer: ``\\w+`` matches of lower(query)."""
+    """JVM-side query tokenizer: ``\\w+`` matches of lower(query)
+    (``(?U)``: Unicode word chars, matching Rust's regex ``\\w``)."""
     c = F.col(query) if isinstance(query, str) else query
-    return F.regexp_extract_all(F.lower(c), F.lit(r"\w+"), 0)
+    return F.regexp_extract_all(F.lower(c), F.lit(r"(?U)\w+"), 0)

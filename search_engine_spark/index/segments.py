@@ -56,7 +56,6 @@ from pyspark.sql.types import (
     StructType,
 )
 
-from ..functions.tokenize import doc_tokens_col, doc_tokens_udf
 from .build import BM25_B, BM25_K1
 from .codec import bm25_norm, encode_postings_batch
 
@@ -64,6 +63,7 @@ SEGMENT_SCHEMA = StructType(
     [
         StructField("bucket", IntegerType(), False),
         StructField("term_hash", LongType(), False),
+        StructField("term", StringType(), False),
         StructField("df", LongType(), False),
         StructField("postings", BinaryType(), False),
         StructField("blockmeta", BinaryType(), False),
@@ -131,28 +131,33 @@ def build_segments(
     out.mkdir(parents=True, exist_ok=True)
     t0 = time.monotonic()
 
+    # Bucket layout — two modes:
+    #   n_buckets > 0: url-hash bucketing (repartition + url sort) —
+    #     deterministic under ANY input layout; used by tests/small runs.
+    #   n_buckets = 0: map-side — each INPUT PARTITION is a bucket and
+    #     the corpus-sized data NEVER shuffles (this is how doc-sharded
+    #     web indexes actually build: every shard indexes its own docs
+    #     locally; only vocabulary-sized aggregates cross the wire).
+    part = pages.select("url", "text")
+    if n_buckets and n_buckets > 0:
+        part = part.repartition(n_buckets, "url").sortWithinPartitions("url")
+    else:
+        n_buckets = part.rdd.getNumPartitions()
+
     committed = _committed_buckets(spark, out)
     _clean_uncommitted(out, committed)
-
-    tok = doc_tokens_udf(F.col("text")) if exact_unicode else doc_tokens_col("text")
-    toks = pages.select("url", tok.alias("tokens")).withColumn(
-        "bucket", _bucket_col(n_buckets)
-    )
 
     # Pass 1 — docmeta for every missing bucket (even past a fail-injection
     # point, so corpus stats below are always computed over the FULL
     # corpus and resumed runs encode with identical avgdl/norms).
+    # bucket = partition id; doc_idx = partition-local row position —
+    # both deterministic for a fixed input layout, and identical to the
+    # positions the Arrow encode kernel sees in pass 2 (same tokenizer
+    # kernel, same row order).
     missing = sorted(set(range(n_buckets)) - committed)
     if missing:
         with _phase("docmeta"):
-            _write_docmeta(spark, toks, out, missing)
-    # Lexicon (term string <-> xxhash64 key): segments carry only the
-    # int64 hash in their hot path; the full-corpus lexicon is tiny
-    # (map-side distinct collapses occurrences to the vocabulary before
-    # the shuffle) and rebuilt idempotently whenever buckets change.
-    if missing or not (out / "lexicon").exists():
-        with _phase("lexicon"):
-            _write_lexicon(spark, toks, out)
+            _write_docmeta(part, out, missing)
 
     # Corpus stats from docmeta — no extra tokenize pass over the corpus.
     stats_path = out / "stats.json"
@@ -176,7 +181,7 @@ def build_segments(
         todo = todo[:fail_after_buckets]
     if todo:
         with _phase("build_buckets"):
-            _build_buckets(spark, toks, out, todo, n_buckets, avgdl, k1, b, run_id)
+            _build_buckets(spark, part, out, todo, avgdl, k1, b, run_id)
 
     # Global term stats (df summed across buckets) — rebuilt when complete.
     if len(_committed_buckets(spark, out)) == n_buckets:
@@ -215,115 +220,183 @@ def _clean_uncommitted(out: Path, committed: set[int]) -> None:
                 shutil.rmtree(d)
 
 
-def _write_docmeta(spark, toks, out: Path, missing: list[int]) -> None:
-    """Dense per-bucket doc_idx, deterministic (url-sorted within bucket)."""
-    from pyspark.sql import Window
+_MID_MASK = (1 << 33) - 1
 
-    dl_df = toks.filter(F.col("bucket").isin(list(missing))).select(
-        "bucket", "url", F.size("tokens").cast("long").alias("dl")
+
+def _arrow_tokens(text_array):
+    """Arrow-side reference tokenizer: lower + Unicode-whitespace split.
+
+    Returns (flat tokens Array, doc_of int64, dl int64 per doc) with
+    empty edge tokens dropped (utf8_split_whitespace keeps them; the
+    reference's split_whitespace does not).
+    """
+    import pyarrow.compute as pc
+
+    toks = pc.utf8_split_whitespace(pc.utf8_lower(text_array))
+    offsets = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    flat = toks.values
+    raw_counts = np.diff(offsets)
+    doc_of = np.repeat(np.arange(len(raw_counts), dtype=np.int64), raw_counts)
+    nonempty = pc.greater(pc.utf8_length(flat), 0)
+    if not pc.all(nonempty).as_py():
+        flat = flat.filter(nonempty)
+        doc_of = doc_of[nonempty.to_numpy(zero_copy_only=False)]
+    dl = np.bincount(doc_of, minlength=len(raw_counts)).astype(np.int64)
+    return flat, doc_of, dl
+
+
+def _write_docmeta(part, out: Path, missing: list[int]) -> None:
+    """Dense per-bucket doc_idx from partition-local row positions.
+
+    mapInArrow kernel (no JVM regex: Java regexp_extract_all materializes
+    a corpus-sized array of token strings on the JVM heap, and that
+    allocation storm is what broke core-scaling); bucket = the partition
+    id, doc_idx = the running row offset — exactly the positions the
+    pass-2 encode kernel assigns by row order.
+    """
+    import pyarrow as pa
+
+    schema = pa.schema(
+        [
+            ("bucket", pa.int32()),
+            ("doc_idx", pa.int64()),
+            ("url", pa.string()),
+            ("dl", pa.int64()),
+        ]
     )
-    w = Window.partitionBy("bucket").orderBy("url")
-    docmeta = dl_df.withColumn(
-        "doc_idx", (F.row_number().over(w) - 1).cast("long")
-    ).select("bucket", "doc_idx", "url", "dl")
+
+    def dl_kernel(batches):
+        from pyspark import TaskContext
+
+        bucket = TaskContext.get().partitionId()
+        pos = 0
+        for rb in batches:
+            url = rb.column(0)
+            _, _, dl = _arrow_tokens(rb.column(1))
+            n = len(url)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(np.full(n, bucket, dtype=np.int32)),
+                    pa.array(np.arange(pos, pos + n, dtype=np.int64)),
+                    url,
+                    pa.array(dl),
+                ],
+                schema=schema,
+            )
+            pos += n
+
+    docmeta = (
+        part.filter(F.spark_partition_id().isin(list(missing)))
+        .select("url", "text")
+        .mapInArrow(
+            dl_kernel,
+            schema="bucket int, doc_idx long, url string, dl long",
+        )
+    )
     docmeta.write.partitionBy("bucket").mode("append").parquet(
         str(out / "docmeta")
     )
 
 
 def _build_buckets(
-    spark, toks, out: Path, todo, n_buckets, avgdl, k1, b, run_id
+    spark, part, out: Path, todo, avgdl, k1, b, run_id
 ) -> None:
+    """Pass 2 — ZERO-SHUFFLE map-side indexing.
+
+    Each partition (= bucket) of ``part`` flows through one mapInArrow
+    kernel that does the whole per-bucket index build in Arrow/numpy:
+    tokenize (pyarrow C++ utf8_lower + utf8_split_whitespace — string
+    data never becomes Python objects), dictionary-encode terms,
+    sort+run-length into (term, doc, tf) postings, BM25 norms from
+    locally-computed doc lengths, and the batched varint/block-max
+    encode. The corpus never crosses an exchange; the only shuffled
+    relations in the whole build are vocabulary-sized (lexicon,
+    termstats). This mirrors how doc-sharded web indexes scale: posting
+    construction is embarrassingly parallel per shard.
+    """
+    import pyarrow as pa
+
     todo_set = set(todo)
-    toks_f = toks.filter(F.col("bucket").isin(list(todo_set)))
-    docmeta_r = spark.read.parquet(str(out / "docmeta")).filter(
-        F.col("bucket").isin(list(todo_set))
+    part_f = part.filter(F.spark_partition_id().isin(list(todo_set)))
+
+    arrow_schema = pa.schema(
+        [
+            ("bucket", pa.int32()),
+            ("term_hash", pa.int64()),
+            ("term", pa.string()),
+            ("df", pa.int64()),
+            ("postings", pa.binary()),
+            ("blockmeta", pa.binary()),
+            ("encode_secs", pa.float64()),
+        ]
     )
 
-    # Single-shuffle plan for the corpus-sized data: join doc_idx at the
-    # DOCUMENT level (one row per doc — a small join, never a
-    # postings-sized sort-merge), explode to occurrences keyed by the
-    # term's xxhash64 (fixed-width int64 — no strings in the big shuffle
-    # or the Arrow hop; strings live in the tiny lexicon table), and move
-    # them ONCE (repartition by bucket) into a cogrouped Arrow kernel
-    # that does tf-counting + sort + batch-encode vectorized. tf
-    # aggregation in the kernel instead of a groupBy avoids a second
-    # corpus-sized shuffle+sort: Zipf-tail (doc, term) pairs are mostly
-    # unique, so a pre-aggregation shuffle would carry ~the same rows.
-    occurrences = (
-        toks_f.join(docmeta_r.select("bucket", "url", "doc_idx"), ["bucket", "url"])
-        .select("bucket", "doc_idx", F.explode("tokens").alias("term"))
-        .select("bucket", "doc_idx", F.xxhash64("term").alias("th"))
-        .repartition(len(todo_set), "bucket")
-    )
+    def encode_partition(batches):
+        import hashlib
 
-    def encode_bucket(occ: pd.DataFrame, meta: pd.DataFrame) -> pd.DataFrame:
+        import pyarrow.compute as pc
+        from pyspark import TaskContext
+
         t_start = time.monotonic()
-        if occ.empty:
-            return pd.DataFrame(
-                {c: pd.Series(dtype=t)
-                 for c, t in zip(
-                     ["bucket", "term_hash", "df", "postings", "blockmeta", "encode_secs"],
-                     ["int64", "int64", "int64", "object", "object", "float64"],
-                 )}
-            )
-        bucket = int(occ["bucket"].iloc[0])
-        th = occ["th"].to_numpy(dtype=np.int64)
-        doc_idx = occ["doc_idx"].to_numpy(dtype=np.int64)
-        order = np.lexsort((doc_idx, th))
-        th_s = th[order]
-        docs_s = doc_idx[order]
-        # tf run-length over sorted (term, doc): one posting per run.
-        new_run = np.concatenate(
-            ([True], (th_s[1:] != th_s[:-1]) | (docs_s[1:] != docs_s[:-1]))
-        )
+        chunks = [rb.column(0) for rb in batches]
+        if not chunks:
+            return
+        bucket = TaskContext.get().partitionId()
+        text = pa.chunked_array(chunks).combine_chunks()
+        flat, doc_of, dl = _arrow_tokens(text)
+        if len(flat) == 0:
+            return
+        de = pc.dictionary_encode(flat)
+        codes = de.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        # One int64 sort key: (term code << 33) | doc position.
+        key = (codes << 33) | doc_of
+        key.sort()
+        codes_s = key >> 33
+        docs_s = key & _MID_MASK
+        new_run = np.concatenate(([True], key[1:] != key[:-1]))
         run_starts = np.flatnonzero(new_run)
-        run_ends = np.concatenate((run_starts[1:], [len(th_s)]))
-        p_th = th_s[run_starts]
+        run_ends = np.concatenate((run_starts[1:], [len(key)]))
+        p_codes = codes_s[run_starts]
         p_docs = docs_s[run_starts]
         p_tfs = (run_ends - run_starts).astype(np.int64)
-        # dl lookup via the cogrouped docmeta (doc_idx is dense 0..n-1).
-        dl_lookup = np.zeros(int(meta["doc_idx"].max()) + 1, dtype=np.int64)
-        dl_lookup[meta["doc_idx"].to_numpy(dtype=np.int64)] = meta[
-            "dl"
-        ].to_numpy(dtype=np.int64)
-        norms = bm25_norm(p_tfs, dl_lookup[p_docs], avgdl=avgdl, k1=k1, b=b)
-        # Term-group bounds over the posting runs (hashes are sorted).
+        norms = bm25_norm(p_tfs, dl[p_docs], avgdl=avgdl, k1=k1, b=b)
         t_change = np.flatnonzero(
-            np.concatenate(([True], p_th[1:] != p_th[:-1]))
+            np.concatenate(([True], p_codes[1:] != p_codes[:-1]))
         )
-        bounds = np.concatenate((t_change, [len(p_th)]))
+        bounds = np.concatenate((t_change, [len(p_codes)]))
         starts, ends = bounds[:-1], bounds[1:]
         encoded = encode_postings_batch(p_docs, p_tfs, norms, starts, ends)
-        secs = time.monotonic() - t_start
-        res = pd.DataFrame(
-            {
-                "bucket": np.full(len(starts), bucket, dtype=np.int64),
-                "term_hash": p_th[starts],
-                "df": (ends - starts).astype(np.int64),
-                "postings": [e.postings for e in encoded],
-                "blockmeta": [e.blockmeta for e in encoded],
-                "encode_secs": np.full(len(starts), np.nan),
-            }
+        # Term strings via Arrow take (no Python string materialization);
+        # hash60 per DISTINCT term only (vocabulary-sized) — identical to
+        # int(md5[:15], 16) everywhere else in the engine.
+        seg_terms = de.dictionary.take(
+            pa.array(p_codes[starts], type=pa.int32())
         )
-        if len(res):
-            res.loc[res.index[0], "encode_secs"] = secs
-        return res
+        hashes = np.array(
+            [
+                int(hashlib.md5(t.encode("utf-8")).hexdigest()[:15], 16)
+                for t in seg_terms.to_pylist()
+            ],
+            dtype=np.int64,
+        )
+        secs = np.full(len(starts), np.nan)
+        if len(secs):
+            secs[0] = time.monotonic() - t_start
+        yield pa.RecordBatch.from_arrays(
+            [
+                pa.array(np.full(len(starts), bucket, dtype=np.int32)),
+                pa.array(hashes),
+                seg_terms,
+                pa.array((ends - starts).astype(np.int64)),
+                pa.array([e.postings for e in encoded], type=pa.binary()),
+                pa.array([e.blockmeta for e in encoded], type=pa.binary()),
+                pa.array(secs, from_pandas=True),  # NaN -> null
+            ],
+            schema=arrow_schema,
+        )
 
-    # Cogroup occurrences with docmeta per bucket. The explicit
-    # repartition above is exempt from AQE partition coalescing (which
-    # would otherwise fold Python-heavy buckets into too few tasks — this
-    # stage's cost is per-posting Python/numpy work, not shuffle bytes).
-    # Fresh read for the cogroup side: occurrences already embeds
-    # docmeta_r in its lineage, and Spark flags the doc_idx self-join as
-    # ambiguous if the same Dataset object appears on both sides.
-    docmeta_cg = spark.read.parquet(str(out / "docmeta")).filter(
-        F.col("bucket").isin(list(todo_set))
-    )
-    segments = (
-        occurrences.groupBy("bucket")
-        .cogroup(docmeta_cg.select("bucket", "doc_idx", "dl").groupBy("bucket"))
-        .applyInPandas(encode_bucket, schema=SEGMENT_SCHEMA)
+    segments = part_f.select("text").mapInArrow(
+        encode_partition, schema=SEGMENT_SCHEMA
     )
     with _phase("encode+write"):
         segments.write.partitionBy("bucket").mode("append").parquet(
@@ -332,6 +405,9 @@ def _build_buckets(
 
     # Commit: lineage rows mark buckets durable; metrics ride along.
     seg_read = spark.read.parquet(str(out / "segments")).filter(
+        F.col("bucket").isin(list(todo_set))
+    )
+    docmeta_r = spark.read.parquet(str(out / "docmeta")).filter(
         F.col("bucket").isin(list(todo_set))
     )
     docs_per_bucket = {
@@ -381,26 +457,14 @@ def _build_buckets(
     )
 
 
-def _write_lexicon(spark: SparkSession, toks, out: Path) -> None:
-    lex = (
-        toks.select(F.explode(F.array_distinct("tokens")).alias("term"))
-        .distinct()
-        .select("term", F.xxhash64("term").alias("term_hash"))
-        # Deterministic single sorted file: the resume test asserts
-        # byte-identical indexes, and the table is vocabulary-sized.
-        .repartition(1)
-        .sortWithinPartitions("term")
-    )
-    lex.write.mode("overwrite").parquet(str(out / "lexicon"))
-
-
 def _write_termstats(spark: SparkSession, out: Path, n_docs: int) -> None:
+    # Vocabulary-sized aggregation over the compact segment parquet —
+    # the ONLY shuffle in the whole build (term strings ride in the
+    # dictionary-encoded segment column, so no corpus pass, no join).
     seg = spark.read.parquet(str(out / "segments"))
-    lex = spark.read.parquet(str(out / "lexicon"))
     ts = (
-        seg.groupBy("term_hash")
+        seg.groupBy("term", "term_hash")
         .agg(F.sum("df").cast("long").alias("df"))
-        .join(lex, "term_hash")
         .withColumn(
             "idf",
             F.log(
@@ -419,18 +483,21 @@ def load_stats(out_dir: str) -> dict:
 
 
 def read_segments(
-    spark: SparkSession, out_dir: str, with_terms: bool = False
+    spark: SparkSession, out_dir: str, with_terms: bool = True
 ) -> DataFrame:
-    seg = spark.read.parquet(f"{out_dir}/segments")
-    if with_terms:
-        seg = seg.join(
-            F.broadcast(read_lexicon(spark, out_dir)), "term_hash"
-        )
-    return seg
+    # term strings live in the segments themselves (parquet dictionary
+    # encoding makes the column vocabulary-sized on disk); with_terms is
+    # kept for API compatibility and simply no-ops.
+    return spark.read.parquet(f"{out_dir}/segments")
 
 
 def read_lexicon(spark: SparkSession, out_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{out_dir}/lexicon")
+    """(term, term_hash) vocabulary — derived from segments."""
+    return (
+        spark.read.parquet(f"{out_dir}/segments")
+        .select("term", "term_hash")
+        .distinct()
+    )
 
 
 def read_docmeta(spark: SparkSession, out_dir: str) -> DataFrame:

@@ -1,0 +1,154 @@
+"""Structured Streaming ingestion + serving tests.
+
+Two micro-batches of pages stream into index generations; batch
+serving over the union must equal a direct batch BM25 oracle computed
+per generation (generations are doc-disjoint, stats per-generation —
+the oracle mirrors that). The serving stream scores a query stream into
+the parquet mailbox and poll_result retrieves it.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+from pathlib import Path
+
+import pytest
+
+from search_engine_spark import corpus
+from search_engine_spark.streaming.ingest import (
+    generation_stats,
+    index_stream,
+    list_generations,
+    query_generations,
+)
+from search_engine_spark.streaming.serve import poll_result, serve_stream
+
+pytestmark = pytest.mark.skipif(
+    not corpus.reference_available(), reason="reference corpus not present"
+)
+
+
+def _write_pages_batch(spark, rows, d: Path, name: str) -> None:
+    df = spark.createDataFrame(rows, corpus.PAGES_SCHEMA)
+    df.coalesce(1).write.mode("overwrite").json(str(d / "stage"))
+    # atomically move the json file into the watched dir
+    staged = list((d / "stage").glob("part-*.json"))
+    assert staged
+    staged[0].rename(d / name)
+
+
+def _await(predicate, timeout=60.0, interval=0.5):
+    t0 = time.monotonic()
+    while time.monotonic() - t0 < timeout:
+        if predicate():
+            return True
+        time.sleep(interval)
+    return False
+
+
+def test_stream_ingest_and_serve(spark, tmp_path):
+    rows = corpus.reference_pages_rows()
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    idx_dir = tmp_path / "idx"
+    (in_dir / "stage").mkdir()
+
+    _write_pages_batch(spark, rows[:60], in_dir, "batch0.json")
+
+    pages_stream = (
+        spark.readStream.schema(corpus.PAGES_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(in_dir))
+    )
+    q = index_stream(
+        pages_stream,
+        str(idx_dir),
+        str(tmp_path / "ckpt"),
+        n_buckets_per_gen=2,
+    )
+    try:
+        assert _await(lambda: len(list_generations(str(idx_dir))) >= 1)
+        _write_pages_batch(spark, rows[60:], in_dir, "batch1.json")
+        assert _await(lambda: len(list_generations(str(idx_dir))) >= 2)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    stats = generation_stats(str(idx_dir))
+    assert stats["n_docs"] == 100
+    assert stats["n_generations"] >= 2
+
+    # Query the union of generations; compare against per-generation
+    # batch oracles merged the same way (doc-disjoint exactness).
+    queries = corpus.reference_queries_df(spark)
+    got = query_generations(spark, str(idx_dir), queries, k=10).collect()
+    assert {r.query_id for r in got} == {f"q{i:02d}-r01" for i in range(1, 11)}
+
+    from pyspark.sql import functions as F
+
+    from search_engine_spark.index.build import (
+        build_postings,
+        doc_lengths,
+        term_stats,
+    )
+    from search_engine_spark.query.scoring import bm25_topk
+
+    gen_results = []
+    for g in list_generations(str(idx_dir)):
+        gstats = json.loads((Path(g) / "stats.json").read_text())
+        urls = {
+            r.url
+            for r in spark.read.parquet(f"{g}/docmeta").select("url").collect()
+        }
+        pages_g = spark.createDataFrame(
+            [r for r in rows if r[0] in urls], corpus.PAGES_SCHEMA
+        )
+        postings = build_postings(pages_g)
+        dl = doc_lengths(pages_g)
+        ts = term_stats(postings, gstats["n_docs"])
+        gen_results.append(
+            bm25_topk(queries, postings, dl, ts, gstats["avgdl"], k=10)
+        )
+    unioned = gen_results[0]
+    for p in gen_results[1:]:
+        unioned = unioned.unionByName(p)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("url"))
+    expected = (
+        unioned.withColumn("grank", F.row_number().over(w))
+        .filter(F.col("grank") <= 10)
+        .select("query_id", F.col("grank").alias("rank"), "url", "score")
+        .collect()
+    )
+    exp = {(r.query_id, r.rank): (r.url, round(r.score, 5)) for r in expected}
+    gotk = {(r.query_id, r.rank): (r.url, round(r.score, 5)) for r in got}
+    assert exp == gotk
+
+    # Streaming serve path: query stream -> mailbox -> poll.
+    qin = tmp_path / "qin"
+    qin.mkdir()
+    (qin / "stage").mkdir()
+    qdf_rows = [("stream-q1", "It's not easy to let go.")]
+    import pandas as pd
+
+    pd.DataFrame(qdf_rows, columns=["query_id", "query_string"]).to_json(
+        qin / "queries0.json", orient="records", lines=True
+    )
+    qstream = (
+        spark.readStream.schema("query_id string, query_string string")
+        .json(str(qin))
+    )
+    gen0 = list_generations(str(idx_dir))[0]
+    mailbox = str(tmp_path / "mailbox")
+    sq = serve_stream(qstream, gen0, mailbox, str(tmp_path / "qckpt"), k=10)
+    try:
+        sq.processAllAvailable()
+    finally:
+        sq.stop()
+    polled = poll_result(spark, mailbox, "stream-q1").collect()
+    assert len(polled) > 0
+    assert [r.rank for r in polled] == list(range(1, len(polled) + 1))
+    missing = poll_result(spark, mailbox, "no-such-query").collect()
+    assert missing == []

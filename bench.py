@@ -253,11 +253,14 @@ def scaling_worker(cores: int, start: int, n_pages: int, out_dir: str, seed: int
                 spark, n_pages, seed=seed, partitions=n_parts, start=start
             ).write.mode("overwrite").parquet(pages_path)
         pages = spark.read.parquet(pages_path)
+        # SCALING_BUCKETS=0 (default): map-side mode — each input
+        # partition is a bucket; the corpus never shuffles.
+        # SCALING_BUCKETS=auto: url-hash bucketing (~8k docs/bucket).
+        mode = os.environ.get("SCALING_BUCKETS", "0")
+        n_buckets = max(32, n_pages // 8000) if mode == "auto" else int(mode)
         t0 = time.monotonic()
-        # n_buckets=0: map-side mode — each input partition is a bucket;
-        # the corpus never shuffles (the design whose scaling we measure).
         build_segments(
-            spark, pages, out_dir, n_buckets=0, run_id=f"scale-{start}"
+            spark, pages, out_dir, n_buckets=n_buckets, run_id=f"scale-{start}"
         )
         wall = time.monotonic() - t0
     finally:

@@ -97,7 +97,40 @@ def q_video_frames(spark, sf_dir):
     return multimodal.sample_frames(media)
 
 
+def q_event_window_counts(spark, sf_dir):
+    """Event-time tumbling-window aggregation over the events stream
+    table — the batch shape of the Structured Streaming ingest path
+    (same F.window semantics drive watermarked streaming aggs).
+    JSON props are extracted with get_json_object (T3-adjacent surface).
+    """
+    from pyspark.sql import functions as F
+
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.window("ts", "1 hour").getField("start").alias("window_start"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.round(F.sum("value") + F.lit(1e-9), 6).alias("sum_value"),
+            F.max(F.get_json_object("props", "$.k").cast("long")).alias("max_k"),
+        )
+    )
+
+
+SQL_EVENT_WINDOW_COUNTS = """
+SELECT date_trunc('hour', ts) AS window_start, event_type,
+       count(*)::BIGINT AS n_events,
+       round(sum(value) + 1e-9, 6) AS sum_value,
+       max(json_extract(props, '$.k')::BIGINT) AS max_k
+FROM events
+GROUP BY 1, 2
+"""
+
+
 PIPELINE_QUERIES: dict = {
+    "event_window_counts": q_event_window_counts,
     "text_stats": q_text_stats,
     "lang_id": q_lang_id,
     "fingerprints": q_fingerprints,
@@ -115,6 +148,7 @@ PIPELINE_QUERIES: dict = {
 }
 
 PIPELINE_ORACLES: dict = {
+    "event_window_counts": SQL_EVENT_WINDOW_COUNTS,
     "text_stats": textstats.SQL_TEXT_STATS,
     "lang_id": textstats.SQL_LANG_ID,
     "fingerprints": textstats.SQL_FINGERPRINTS,

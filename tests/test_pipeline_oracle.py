@@ -37,7 +37,7 @@ def _rows(seq):
 @pytest.fixture(scope="module")
 def ddb():
     con = duckdb.connect()
-    for t in ["documents", "embeddings"]:
+    for t in ["documents", "embeddings", "events"]:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
         )

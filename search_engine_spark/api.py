@@ -170,21 +170,31 @@ def q_wand_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Shares the BM25 oracle SQL — the driver's comparison IS the
     north_rule's rank-identity check (fast path == brute force).
-    Builds the segment index into a scratch dir on each call; at sf0.01
-    that's a sub-second build and keeps the query self-contained.
-    """
-    import tempfile
 
-    from .index.segments import build_segments
+    The segment index is built into a per-corpus scratch directory
+    (keyed by the sf_dir path) and the result DataFrame is returned
+    lazily — no driver-side collect/re-create round-trip. Re-running the
+    gate reuses the committed index: ``build_segments`` is idempotent
+    (lineage-gated resume), so a second call over a complete index is a
+    metadata no-op.
+    """
+    import hashlib
+    import tempfile
+    from pathlib import Path
+
+    from .index.segments import CODEC_VERSION, build_segments
     from .query.wand import wand_topk
 
     docs = _docs_as_corpus(spark, sf_dir)
-    with tempfile.TemporaryDirectory(prefix="seg-idx-") as d:
-        build_segments(spark, docs, d, n_buckets=8, run_id="gate")
-        out = wand_topk(spark, d, _queries_df(spark), k=10)
-        rows = out.collect()  # materialize before the temp dir vanishes
-    res = spark.createDataFrame(rows, out.schema)
-    return res.select(
+    key = hashlib.md5(str(Path(sf_dir).resolve()).encode()).hexdigest()[:12]
+    d = str(
+        Path(tempfile.gettempdir())
+        / "spark_graft_idx"
+        / f"gate-v{CODEC_VERSION}-{key}"
+    )
+    build_segments(spark, docs, d, n_buckets=8, run_id="gate")
+    out = wand_topk(spark, d, _queries_df(spark), k=10)
+    return out.select(
         "query_id",
         F.col("rank").cast("int").alias("rank"),
         F.col("url").alias("doc_id"),

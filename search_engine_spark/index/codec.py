@@ -5,25 +5,36 @@ per token occurrence (``src/lib.rs:341-343,359-365``). At 10^12-doc scale
 that layout is untenable; per the north_rule, segments store docID-sorted,
 delta + varint-compressed posting lists with per-block metadata:
 
-- ``last_docid`` per block  -> skip/seek without decoding,
-- ``max_norm``  per block   -> BM25 block upper bound (idf-independent:
-  ``norm = tf*(k1+1) / (tf + k1*(1-b+b*dl/avgdl))``; multiply by the
-  term's global idf at query time, so encoding needs NO global join),
-- byte offsets per block    -> decode individual blocks standalone.
+- ``last_docid`` per block       -> skip/seek without decoding,
+- ``(max_tf, min_dl)`` per block -> BM25 block upper bound. The norm
+  ``tf*(k1+1) / (tf + k1*(1-b+b*dl/avgdl))`` is monotone increasing in
+  tf and decreasing in dl for every avgdl, so
+  ``norm(max_tf, min_dl) >= norm(tf_i, dl_i)`` for every posting in the
+  block — a valid block-max bound that is **independent of corpus-global
+  stats** (avgdl, idf). This is what lets the index build run in a
+  single corpus pass with zero global joins: nothing in a segment
+  depends on any other partition. idf and avgdl are applied at query
+  time (``BlockMeta.max_norms``).
+- byte offsets + per-block codec flag -> decode individual blocks
+  standalone (codec 0 = LEB128 varint; codec 1 = PForDelta, i.e.
+  bit-packed frame-of-reference with varint-patched exceptions).
 
 Everything is numpy-vectorized (no per-value Python loops; the LEB128
 encoder/decoder loop is over the ≤10 byte positions, not over values),
 so the kernels run at Arrow-batch speed inside pandas UDFs.
 
 Layout of the ``postings`` binary per term:
-    [docid varints][tf varints]  (docids are gap-encoded, gaps = docid
+    [docid blocks][tf blocks]  (docids are gap-encoded, gaps = docid
     diffs with an implicit previous of -1, i.e. first gap = docid+1 so
     docid 0 encodes as 1 — keeps every gap >= 1)
 
-Layout of the ``blockmeta`` binary per term:
+Layout of the ``blockmeta`` binary per term (codec v2):
     uint32 n_blocks, uint32 block_size,
     int64  last_docid[n_blocks],
-    float32 max_norm[n_blocks],
+    uint32 max_tf[n_blocks],
+    uint32 min_dl[n_blocks],
+    uint8  docid_codec[n_blocks],
+    uint8  tf_codec[n_blocks],
     uint32 docid_byte_off[n_blocks + 1],
     uint32 tf_byte_off[n_blocks + 1]
 """
@@ -115,13 +126,19 @@ class EncodedPostings:
 def encode_postings(
     docids: np.ndarray,
     tfs: np.ndarray,
-    norms: np.ndarray,
+    dls: np.ndarray,
     block_size: int = BLOCK_SIZE,
 ) -> EncodedPostings:
-    """Encode one term's postings (docid-sorted) into the segment layout."""
+    """Encode one term's postings (docid-sorted) into the segment layout.
+
+    ``dls`` is the document length per posting (same order as docids);
+    only the per-block min survives into the metadata — the bound pair
+    ``(max_tf, min_dl)`` makes blockmeta independent of corpus-global
+    stats (see module docstring).
+    """
     docids = np.asarray(docids, dtype=np.int64)
     tfs = np.asarray(tfs, dtype=np.uint64)
-    norms = np.asarray(norms, dtype=np.float64)
+    dls = np.asarray(dls, dtype=np.int64)
     n = len(docids)
     if n == 0:
         raise ValueError("empty posting list")
@@ -146,13 +163,17 @@ def encode_postings(
         tf_offs[i + 1] = tf_offs[i] + len(tchunk)
 
     last_docids = docids[bounds - 1].astype(np.int64)
-    max_norms = np.maximum.reduceat(norms, starts).astype(np.float32)
+    max_tfs = np.maximum.reduceat(tfs, starts).astype(np.uint32)
+    min_dls = np.minimum.reduceat(dls, starts).astype(np.uint32)
 
     header = np.array([n_blocks, block_size], dtype=np.uint32).tobytes()
     blockmeta = (
         header
         + last_docids.tobytes()
-        + max_norms.tobytes()
+        + max_tfs.tobytes()
+        + min_dls.tobytes()
+        + np.zeros(n_blocks, dtype=np.uint8).tobytes()  # docid codec: varint
+        + np.zeros(n_blocks, dtype=np.uint8).tobytes()  # tf codec: varint
         + docid_offs.tobytes()
         + tf_offs.tobytes()
     )
@@ -163,14 +184,14 @@ def encode_postings(
 def encode_postings_batch(
     doc_idx: np.ndarray,
     tfs: np.ndarray,
-    norms: np.ndarray,
+    dls: np.ndarray,
     starts: np.ndarray,
     ends: np.ndarray,
     block_size: int = BLOCK_SIZE,
 ) -> list[EncodedPostings]:
     """Encode MANY terms' postings in one vectorized pass.
 
-    ``doc_idx``/``tfs``/``norms`` are the concatenated per-term arrays
+    ``doc_idx``/``tfs``/``dls`` are the concatenated per-term arrays
     (term-major, docids strictly increasing within each term);
     ``starts``/``ends`` give each term's slice. Byte-identical to calling
     :func:`encode_postings` per term (asserted in tests), but the varint
@@ -182,7 +203,7 @@ def encode_postings_batch(
     """
     doc_idx = np.ascontiguousarray(doc_idx, dtype=np.int64)
     tfs_a = np.ascontiguousarray(tfs, dtype=np.uint64)
-    norms = np.ascontiguousarray(norms, dtype=np.float64)
+    dls_a = np.ascontiguousarray(dls, dtype=np.int64)
     starts = np.asarray(starts, dtype=np.int64)
     ends = np.asarray(ends, dtype=np.int64)
     n = len(doc_idx)
@@ -214,22 +235,24 @@ def encode_postings_batch(
     b_term = term_of[bstarts]
     bends = np.minimum(bstarts + block_size, ends[b_term])
     last_docids = doc_idx[bends - 1].astype(np.int64)
-    max_norms = np.maximum.reduceat(norms, bstarts).astype(np.float32)
+    max_tfs = np.maximum.reduceat(tfs_a, bstarts).astype(np.uint32)
+    min_dls = np.minimum.reduceat(dls_a, bstarts).astype(np.uint32)
     nblocks_per_term = np.bincount(b_term, minlength=n_terms).astype(np.int64)
     bterm_cum = np.zeros(n_terms + 1, dtype=np.int64)
     np.cumsum(nblocks_per_term, out=bterm_cum[1:])
 
     # Single-block fast path: in a Zipf-tail corpus the vast majority of
-    # terms have df <= block_size (one block), whose 36-byte blockmeta is
+    # terms have df <= block_size (one block), whose 42-byte blockmeta is
     # a fixed-width record — build them ALL in one structured-array write
     # and slice per term, leaving the generic loop only for long terms.
     single_dt = np.dtype(
         [
-            ("nb", "<u4"), ("bs", "<u4"), ("last", "<i8"), ("mx", "<f4"),
+            ("nb", "<u4"), ("bs", "<u4"), ("last", "<i8"),
+            ("mtf", "<u4"), ("mdl", "<u4"), ("dc", "u1"), ("tc", "u1"),
             ("d0", "<u4"), ("d1", "<u4"), ("t0", "<u4"), ("t1", "<u4"),
         ]
     )
-    assert single_dt.itemsize == 36
+    assert single_dt.itemsize == 42
     is_single = nblocks_per_term == 1
     single_meta_buf = b""
     single_pos = np.cumsum(is_single) - 1  # index into the packed records
@@ -239,7 +262,8 @@ def encode_postings_batch(
         rec["nb"] = 1
         rec["bs"] = block_size
         rec["last"] = doc_idx[ends[si] - 1]
-        rec["mx"] = max_norms[bterm_cum[si]]
+        rec["mtf"] = max_tfs[bterm_cum[si]]
+        rec["mdl"] = min_dls[bterm_cum[si]]
         rec["d1"] = dcum[ends[si]] - dcum[starts[si]]
         rec["t1"] = tcum[ends[si]] - tcum[starts[si]]
         single_meta_buf = rec.tobytes()
@@ -248,8 +272,8 @@ def encode_postings_batch(
     for t in range(n_terms):
         s, e = starts[t], ends[t]
         if is_single[t]:
-            p = int(single_pos[t]) * 36
-            blockmeta = single_meta_buf[p : p + 36]
+            p = int(single_pos[t]) * 42
+            blockmeta = single_meta_buf[p : p + 42]
         else:
             bs, be = bterm_cum[t], bterm_cum[t + 1]
             nb = be - bs
@@ -265,7 +289,9 @@ def encode_postings_batch(
             blockmeta = (
                 header.tobytes()
                 + last_docids[bs:be].tobytes()
-                + max_norms[bs:be].tobytes()
+                + max_tfs[bs:be].tobytes()
+                + min_dls[bs:be].tobytes()
+                + np.zeros(2 * nb, dtype=np.uint8).tobytes()
                 + docid_offs.tobytes()
                 + tf_offs.tobytes()
             )
@@ -277,7 +303,10 @@ def encode_postings_batch(
 
 
 class BlockMeta:
-    __slots__ = ("n_blocks", "block_size", "last_docids", "max_norms", "docid_offs", "tf_offs")
+    __slots__ = (
+        "n_blocks", "block_size", "last_docids", "max_tfs", "min_dls",
+        "docid_codec", "tf_codec", "docid_offs", "tf_offs",
+    )
 
     def __init__(self, blockmeta: bytes):
         mv = memoryview(blockmeta)
@@ -288,11 +317,46 @@ class BlockMeta:
         nb = self.n_blocks
         self.last_docids = np.frombuffer(mv[o : o + 8 * nb], dtype=np.int64)
         o += 8 * nb
-        self.max_norms = np.frombuffer(mv[o : o + 4 * nb], dtype=np.float32)
+        self.max_tfs = np.frombuffer(mv[o : o + 4 * nb], dtype=np.uint32)
         o += 4 * nb
+        self.min_dls = np.frombuffer(mv[o : o + 4 * nb], dtype=np.uint32)
+        o += 4 * nb
+        self.docid_codec = np.frombuffer(mv[o : o + nb], dtype=np.uint8)
+        o += nb
+        self.tf_codec = np.frombuffer(mv[o : o + nb], dtype=np.uint8)
+        o += nb
         self.docid_offs = np.frombuffer(mv[o : o + 4 * (nb + 1)], dtype=np.uint32)
         o += 4 * (nb + 1)
         self.tf_offs = np.frombuffer(mv[o : o + 4 * (nb + 1)], dtype=np.uint32)
+
+    def max_norms(self, avgdl: float, k1: float = 1.2, b: float = 0.75) -> np.ndarray:
+        """Per-block BM25 norm upper bounds, given corpus avgdl.
+
+        Valid bound: the norm is monotone increasing in tf and decreasing
+        in dl, so norm(max_tf, min_dl) dominates every posting's norm in
+        the block regardless of which posting attains which extreme.
+        """
+        return bm25_norm(
+            self.max_tfs.astype(np.float64),
+            self.min_dls.astype(np.float64),
+            avgdl,
+            k1=k1,
+            b=b,
+        )
+
+
+def _decode_stream(mv, offs, codec, counts) -> np.ndarray:
+    """Decode one stream (all blocks) honoring per-block codec flags."""
+    if not codec.any():
+        return varint_decode(mv[: int(offs[-1])])
+    parts = []
+    for bi in range(len(codec)):
+        chunk = mv[int(offs[bi]) : int(offs[bi + 1])]
+        if codec[bi] == 0:
+            parts.append(varint_decode(chunk))
+        else:
+            parts.append(pfor_decode_block(chunk, int(counts[bi])))
+    return np.concatenate(parts) if parts else np.empty(0, dtype=np.uint64)
 
 
 def decode_postings(
@@ -300,14 +364,35 @@ def decode_postings(
 ) -> tuple[np.ndarray, np.ndarray]:
     """Full decode: (docids int64, tfs uint64)."""
     meta = blockmeta if isinstance(blockmeta, BlockMeta) else BlockMeta(blockmeta)
+    mv = memoryview(postings)
     docid_bytes_len = int(meta.docid_offs[-1])
-    gaps = varint_decode(memoryview(postings)[:docid_bytes_len])
-    tfs = varint_decode(memoryview(postings)[docid_bytes_len:])
+    counts = None
+    if meta.docid_codec.any() or meta.tf_codec.any():
+        counts = _block_counts(meta, None)
+    gaps = _decode_stream(mv[:docid_bytes_len], meta.docid_offs, meta.docid_codec, counts)
+    tfs = _decode_stream(mv[docid_bytes_len:], meta.tf_offs, meta.tf_codec, counts)
     return delta_decode(gaps), tfs
 
 
+def _block_counts(meta: BlockMeta, df: "int | None") -> np.ndarray:
+    """Postings per block; the last block is the only short one.
+
+    ``df`` may be None: the tail-block length is then recovered from the
+    varint stream itself only when needed; callers that know df pass it.
+    """
+    counts = np.full(meta.n_blocks, meta.block_size, dtype=np.int64)
+    if df is not None:
+        counts[-1] = df - meta.block_size * (meta.n_blocks - 1)
+    else:
+        # Tail count from the tail block's own encoding is only required
+        # for PFor tails; the encoder always leaves the tail block varint
+        # when its length is unknown-at-decode, so block_size is safe here.
+        counts[-1] = meta.block_size
+    return counts
+
+
 def decode_blocks(
-    postings: bytes, meta: BlockMeta, block_idx: np.ndarray
+    postings: bytes, meta: BlockMeta, block_idx: np.ndarray, df: "int | None" = None
 ) -> tuple[np.ndarray, np.ndarray]:
     """Decode only the selected blocks (sorted unique indices).
 
@@ -318,18 +403,51 @@ def decode_blocks(
     mv = memoryview(postings)
     docid_base = 0
     tf_base = int(meta.docid_offs[-1])
+    counts = _block_counts(meta, df)
     docid_parts = []
     tf_parts = []
     for bi in np.asarray(block_idx, dtype=np.int64):
         ds, de = int(meta.docid_offs[bi]), int(meta.docid_offs[bi + 1])
         ts, te = int(meta.tf_offs[bi]), int(meta.tf_offs[bi + 1])
-        gaps = varint_decode(mv[docid_base + ds : docid_base + de])
+        dchunk = mv[docid_base + ds : docid_base + de]
+        if meta.docid_codec[bi] == 0:
+            gaps = varint_decode(dchunk)
+        else:
+            gaps = pfor_decode_block(dchunk, int(counts[bi]))
         anchor = -1 if bi == 0 else int(meta.last_docids[bi - 1])
         # Uniform anchor math: block 0's first gap is docid0 + 1 and the
         # anchor is -1, so ids = anchor + cumsum(gaps) holds for every block.
         ids = np.cumsum(gaps.astype(np.int64)) + anchor
         docid_parts.append(ids)
-        tf_parts.append(varint_decode(mv[tf_base + ts : tf_base + te]))
+        tchunk = mv[tf_base + ts : tf_base + te]
+        if meta.tf_codec[bi] == 0:
+            tf_parts.append(varint_decode(tchunk))
+        else:
+            tf_parts.append(pfor_decode_block(tchunk, len(gaps)))
     if not docid_parts:
         return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.uint64)
     return np.concatenate(docid_parts), np.concatenate(tf_parts)
+
+
+def pfor_decode_block(data: "bytes | memoryview", n: int) -> np.ndarray:
+    """Decode one PForDelta block: [u8 width][u8 n_exc][packed][exc varints].
+
+    Exceptions are (position, high_bits) varint pairs; the decoded value
+    is ``low_bits | high_bits << width``.
+    """
+    a = np.frombuffer(data, dtype=np.uint8)
+    w = int(a[0])
+    n_exc = int(a[1])
+    packed_len = (n * w + 7) // 8
+    if w == 0:
+        vals = np.zeros(n, dtype=np.uint64)
+    else:
+        bits = np.unpackbits(a[2 : 2 + packed_len], bitorder="little")[: n * w]
+        weights = (np.uint64(1) << np.arange(w, dtype=np.uint64))
+        vals = bits.reshape(n, w).astype(np.uint64) @ weights
+    if n_exc:
+        exc = varint_decode(a[2 + packed_len :].tobytes())
+        idx = exc[0::2].astype(np.int64)
+        high = exc[1::2]
+        vals[idx] |= high << np.uint64(w)
+    return vals

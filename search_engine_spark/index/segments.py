@@ -1,16 +1,35 @@
-"""Compressed index segments: build, checkpoint/resume, lineage, metrics.
+"""Compressed index segments: fused one-pass build, checkpoint/resume,
+lineage, metrics.
 
-Layout (parquet-backed; an Iceberg table would use the same schema with a
-``bucket(n, url)`` partition transform — the sandbox has no Iceberg
-runtime jars, so this is the documented fallback per SURVEY.md §7.4):
+Layout v2 (parquet-backed; an Iceberg table would use the same schema
+with a ``bucket(n, url)`` partition transform — the sandbox has no
+Iceberg runtime jars, so this is the documented fallback per SURVEY.md
+§7.4):
 
     <out_dir>/
-      stats.json                 corpus stats: N, avgdl, n_buckets, k1, b
-      docmeta/bucket=K/*.parquet (doc_idx, url, dl) per doc bucket
-      segments/bucket=K/*.parquet(term, df, postings, blockmeta, encode_secs)
-      termstats/*.parquet        (term, df, cf, idf) global
-      lineage.parquet            one row per committed bucket per run
-      metrics.parquet            per-bucket throughput/size rows
+      layout.json               written FIRST: n_buckets, mode, k1, b,
+                                codec version — resume validation record
+      index/bucket=K/*.parquet  unified rows, discriminated by ``kind``:
+                                kind=0 doc rows  (doc_idx, url, dl)
+                                kind=1 term rows (term_hash, term, df,
+                                postings, blockmeta, encode_secs)
+      termstats/*.parquet       (term, term_hash, df, idf) global
+      lineage.parquet           one row per committed bucket per run
+      metrics.parquet           per-bucket throughput/size rows
+      stats.json                written LAST (completion marker):
+                                N, avgdl, n_buckets, k1, b
+
+**One corpus pass.** Doc metadata and encoded postings are emitted by a
+single mapInArrow kernel per bucket: tokenize once (pyarrow C++
+utf8_lower + utf8_split_whitespace), yield the doc rows, then
+dictionary-encode + sort + run-length + varint-encode the postings from
+the same token arrays. This is possible because the codec's block
+metadata stores the avgdl-independent bound pair ``(max_tf, min_dl)``
+(codec.py): nothing in a segment depends on corpus-global statistics, so
+no pre-pass over the corpus is needed and the dominant kernel cost
+(tokenization) is paid exactly once. Global stats (N, avgdl, idf) are
+derived afterwards from the *already-written* doc rows — a metadata-only
+aggregation, no text involved.
 
 Partitioning choice: **documents** are hash-partitioned into buckets and
 each bucket holds a full mini-index over its docs (local dense doc_idx).
@@ -22,15 +41,19 @@ sizes are uniform by url-hash regardless of term distribution, so head
 terms never concentrate a shuffle partition; the term-partitioned variant
 with explicit head-term salting lives in ``term_merge.py``.
 
-Scoring metadata is idf-free (per-block ``max_norm``); global idf comes
-from ``termstats`` at query time, so the build needs no term-global join.
-
 Checkpoint/resume (north_rule): each bucket is an idempotent unit. A
 bucket is *committed* iff a lineage row exists for it; on resume,
 uncommitted bucket directories (partial writes from a crash) are deleted
 and only missing buckets are rebuilt — the per-bucket output is a pure
 function of the input corpus, so a resumed build is identical to an
-uninterrupted one (tested in tests/test_segments.py).
+uninterrupted one (tested in tests/test_segments_wand.py). ``layout.json``
+is written before any bucket and re-validated on resume: resuming with a
+different bucket count (e.g. a changed file listing or
+``spark.sql.files.maxPartitionBytes`` in map-side mode) fails fast
+instead of silently renumbering buckets against the old lineage.
+``stats.json`` is written only after every bucket has committed and
+termstats is durable, so its presence IS the completion marker
+(streaming/ingest.py gates generations on it).
 """
 
 from __future__ import annotations
@@ -43,7 +66,6 @@ import time
 from pathlib import Path
 
 import numpy as np
-import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
@@ -57,16 +79,26 @@ from pyspark.sql.types import (
 )
 
 from .build import BM25_B, BM25_K1
-from .codec import bm25_norm, encode_postings_batch
+from .codec import encode_postings_batch
 
-SEGMENT_SCHEMA = StructType(
+CODEC_VERSION = 2
+
+# Unified index-row schema: kind=0 doc rows, kind=1 term rows. One
+# parquet table carries both — the build emits them from ONE kernel and
+# readers prune by ``kind`` (columnar reads never touch the other kind's
+# columns; predicate pushdown skips its row groups).
+INDEX_SCHEMA = StructType(
     [
         StructField("bucket", IntegerType(), False),
-        StructField("term_hash", LongType(), False),
-        StructField("term", StringType(), False),
-        StructField("df", LongType(), False),
-        StructField("postings", BinaryType(), False),
-        StructField("blockmeta", BinaryType(), False),
+        StructField("kind", IntegerType(), False),
+        StructField("doc_idx", LongType(), True),
+        StructField("url", StringType(), True),
+        StructField("dl", LongType(), True),
+        StructField("term_hash", LongType(), True),
+        StructField("term", StringType(), True),
+        StructField("df", LongType(), True),
+        StructField("postings", BinaryType(), True),
+        StructField("blockmeta", BinaryType(), True),
         StructField("encode_secs", DoubleType(), True),
     ]
 )
@@ -81,10 +113,6 @@ LINEAGE_SCHEMA = StructType(
         StructField("committed_at", DoubleType(), False),
     ]
 )
-
-
-def _bucket_col(n_buckets: int):
-    return F.pmod(F.xxhash64(F.col("url")), F.lit(n_buckets)).cast("int")
 
 
 _PHASE_LOG = os.environ.get("SEGMENTS_PHASE_LOG", "") == "1"
@@ -134,67 +162,89 @@ def build_segments(
     # Bucket layout — two modes:
     #   n_buckets > 0: url-hash bucketing (repartition + url sort) —
     #     deterministic under ANY input layout; used by tests/small runs.
+    #     Secondary sort key xxhash64(text) pins the within-bucket order
+    #     even when two docs share a url, so a resumed build is
+    #     byte-identical to an uninterrupted one.
     #   n_buckets = 0: map-side — each INPUT PARTITION is a bucket and
     #     the corpus-sized data NEVER shuffles (this is how doc-sharded
     #     web indexes actually build: every shard indexes its own docs
     #     locally; only vocabulary-sized aggregates cross the wire).
     part = pages.select("url", "text")
     if n_buckets and n_buckets > 0:
-        part = part.repartition(n_buckets, "url").sortWithinPartitions("url")
+        mode = "url-hash"
+        part = part.repartition(n_buckets, "url").sortWithinPartitions(
+            "url", F.xxhash64("text")
+        )
     else:
+        mode = "map-side"
         n_buckets = part.rdd.getNumPartitions()
+
+    # Resume-safety: the bucket layout must match the recorded one, or a
+    # resumed run would renumber buckets against the old lineage and
+    # silently build a corrupted mixed index. Fail fast instead.
+    layout_path = out / "layout.json"
+    layout = {
+        "n_buckets": n_buckets,
+        "mode": mode,
+        "k1": k1,
+        "b": b,
+        "codec": CODEC_VERSION,
+    }
+    if layout_path.exists():
+        prev = json.loads(layout_path.read_text())
+        if prev != layout:
+            raise ValueError(
+                f"index layout mismatch under {out_dir}: recorded {prev}, "
+                f"recomputed {layout} — refusing to resume (a map-side "
+                "build must see the identical input partitioning; delete "
+                "the directory to rebuild from scratch)"
+            )
+    else:
+        layout_path.write_text(json.dumps(layout))
 
     committed = _committed_buckets(spark, out)
     _clean_uncommitted(out, committed)
 
-    # Pass 1 — docmeta for every missing bucket (even past a fail-injection
-    # point, so corpus stats below are always computed over the FULL
-    # corpus and resumed runs encode with identical avgdl/norms).
-    # bucket = partition id; doc_idx = partition-local row position —
-    # both deterministic for a fixed input layout, and identical to the
-    # positions the Arrow encode kernel sees in pass 2 (same tokenizer
-    # kernel, same row order).
     missing = sorted(set(range(n_buckets)) - committed)
-    if missing:
-        with _phase("docmeta"):
-            _write_docmeta(part, out, missing)
-
-    # Corpus stats from docmeta — no extra tokenize pass over the corpus.
-    stats_path = out / "stats.json"
-    docmeta_all = spark.read.parquet(str(out / "docmeta"))
-    with _phase("stats"):
-        agg = docmeta_all.agg(
-            F.count(F.lit(1)).alias("n"), F.avg("dl").alias("avgdl")
-        ).collect()[0]
-    n_docs, avgdl = int(agg["n"]), float(agg["avgdl"] or 0.0)
-    stats = {
-        "n_docs": n_docs,
-        "avgdl": avgdl,
-        "n_buckets": n_buckets,
-        "k1": k1,
-        "b": b,
-    }
-    stats_path.write_text(json.dumps(stats))
-
     todo = missing
     if fail_after_buckets is not None:
         todo = todo[:fail_after_buckets]
     if todo:
         with _phase("build_buckets"):
-            _build_buckets(spark, part, out, todo, avgdl, k1, b, run_id)
+            _build_buckets(spark, part, out, todo, run_id)
 
-    # Global term stats (df summed across buckets) — rebuilt when complete.
-    if len(_committed_buckets(spark, out)) == n_buckets:
+    complete = len(_committed_buckets(spark, out)) == n_buckets
+    n_docs = avgdl = None
+    if complete:
+        # Corpus stats + global term stats from the committed index —
+        # metadata-only aggregations (no corpus/text pass).
+        with _phase("stats"):
+            agg = (
+                spark.read.parquet(str(out / "index"))
+                .filter(F.col("kind") == 0)
+                .agg(F.count(F.lit(1)).alias("n"), F.avg("dl").alias("avgdl"))
+                .collect()[0]
+            )
+        n_docs, avgdl = int(agg["n"]), float(agg["avgdl"] or 0.0)
         with _phase("termstats"):
             _write_termstats(spark, out, n_docs)
+        stats = {
+            "n_docs": n_docs,
+            "avgdl": avgdl,
+            "n_buckets": n_buckets,
+            "k1": k1,
+            "b": b,
+        }
+        (out / "stats.json").write_text(json.dumps(stats))
 
     elapsed = time.monotonic() - t0
     return {
         "built_buckets": len(todo),
         "n_docs": n_docs,
         "avgdl": avgdl,
+        "complete": complete,
         "elapsed_secs": elapsed,
-        "docs_per_sec": (n_docs / elapsed) if elapsed > 0 else None,
+        "docs_per_sec": (n_docs / elapsed) if (n_docs and elapsed > 0) else None,
     }
 
 
@@ -207,17 +257,16 @@ def _committed_buckets(spark: SparkSession, out: Path) -> set[int]:
 
 
 def _clean_uncommitted(out: Path, committed: set[int]) -> None:
-    for sub in ("segments", "docmeta"):
-        base = out / sub
-        if not base.exists():
+    base = out / "index"
+    if not base.exists():
+        return
+    for d in base.glob("bucket=*"):
+        try:
+            b = int(d.name.split("=", 1)[1])
+        except ValueError:
             continue
-        for d in base.glob("bucket=*"):
-            try:
-                b = int(d.name.split("=", 1)[1])
-            except ValueError:
-                continue
-            if b not in committed:
-                shutil.rmtree(d)
+        if b not in committed:
+            shutil.rmtree(d)
 
 
 _MID_MASK = (1 << 33) - 1
@@ -245,74 +294,20 @@ def _arrow_tokens(text_array):
     return flat, doc_of, dl
 
 
-def _write_docmeta(part, out: Path, missing: list[int]) -> None:
-    """Dense per-bucket doc_idx from partition-local row positions.
+def _build_buckets(spark, part, out: Path, todo, run_id) -> None:
+    """The single corpus pass — ZERO-SHUFFLE fused map-side indexing.
 
-    mapInArrow kernel (no JVM regex: Java regexp_extract_all materializes
-    a corpus-sized array of token strings on the JVM heap, and that
-    allocation storm is what broke core-scaling); bucket = the partition
-    id, doc_idx = the running row offset — exactly the positions the
-    pass-2 encode kernel assigns by row order.
-    """
-    import pyarrow as pa
-
-    schema = pa.schema(
-        [
-            ("bucket", pa.int32()),
-            ("doc_idx", pa.int64()),
-            ("url", pa.string()),
-            ("dl", pa.int64()),
-        ]
-    )
-
-    def dl_kernel(batches):
-        from pyspark import TaskContext
-
-        bucket = TaskContext.get().partitionId()
-        pos = 0
-        for rb in batches:
-            url = rb.column(0)
-            _, _, dl = _arrow_tokens(rb.column(1))
-            n = len(url)
-            yield pa.RecordBatch.from_arrays(
-                [
-                    pa.array(np.full(n, bucket, dtype=np.int32)),
-                    pa.array(np.arange(pos, pos + n, dtype=np.int64)),
-                    url,
-                    pa.array(dl),
-                ],
-                schema=schema,
-            )
-            pos += n
-
-    docmeta = (
-        part.filter(F.spark_partition_id().isin(list(missing)))
-        .select("url", "text")
-        .mapInArrow(
-            dl_kernel,
-            schema="bucket int, doc_idx long, url string, dl long",
-        )
-    )
-    docmeta.write.partitionBy("bucket").mode("append").parquet(
-        str(out / "docmeta")
-    )
-
-
-def _build_buckets(
-    spark, part, out: Path, todo, avgdl, k1, b, run_id
-) -> None:
-    """Pass 2 — ZERO-SHUFFLE map-side indexing.
-
-    Each partition (= bucket) of ``part`` flows through one mapInArrow
+    Each partition (= bucket) of ``part`` flows through ONE mapInArrow
     kernel that does the whole per-bucket index build in Arrow/numpy:
     tokenize (pyarrow C++ utf8_lower + utf8_split_whitespace — string
-    data never becomes Python objects), dictionary-encode terms,
-    sort+run-length into (term, doc, tf) postings, BM25 norms from
-    locally-computed doc lengths, and the batched varint/block-max
-    encode. The corpus never crosses an exchange; the only shuffled
-    relations in the whole build are vocabulary-sized (lexicon,
-    termstats). This mirrors how doc-sharded web indexes scale: posting
-    construction is embarrassingly parallel per shard.
+    data never becomes Python objects), emit the doc rows (doc_idx, url,
+    dl), then dictionary-encode terms, sort+run-length into
+    (term, doc, tf) postings, and the batched varint/block-meta encode
+    with avgdl-independent (max_tf, min_dl) bounds. The corpus is
+    tokenized exactly once and never crosses an exchange; the only
+    shuffled relation in the whole build is vocabulary-sized (termstats).
+    This mirrors how doc-sharded web indexes scale: posting construction
+    is embarrassingly parallel per shard.
     """
     import pyarrow as pa
 
@@ -322,6 +317,10 @@ def _build_buckets(
     arrow_schema = pa.schema(
         [
             ("bucket", pa.int32()),
+            ("kind", pa.int32()),
+            ("doc_idx", pa.int64()),
+            ("url", pa.string()),
+            ("dl", pa.int64()),
             ("term_hash", pa.int64()),
             ("term", pa.string()),
             ("df", pa.int64()),
@@ -338,14 +337,40 @@ def _build_buckets(
         from pyspark import TaskContext
 
         t_start = time.monotonic()
-        chunks = [rb.column(0) for rb in batches]
-        if not chunks:
+        url_chunks, text_chunks = [], []
+        for rb in batches:
+            url_chunks.append(rb.column(0))
+            text_chunks.append(rb.column(1))
+        if not text_chunks:
             return
         bucket = TaskContext.get().partitionId()
-        text = pa.chunked_array(chunks).combine_chunks()
+        urls = pa.chunked_array(url_chunks).combine_chunks()
+        text = pa.chunked_array(text_chunks).combine_chunks()
         flat, doc_of, dl = _arrow_tokens(text)
+        n_docs = len(urls)
+
+        def nulls(t):
+            return pa.nulls(n_docs, type=t)
+
+        yield pa.RecordBatch.from_arrays(
+            [
+                pa.array(np.full(n_docs, bucket, dtype=np.int32)),
+                pa.array(np.zeros(n_docs, dtype=np.int32)),
+                pa.array(np.arange(n_docs, dtype=np.int64)),
+                urls,
+                pa.array(dl),
+                nulls(pa.int64()),
+                nulls(pa.string()),
+                nulls(pa.int64()),
+                nulls(pa.binary()),
+                nulls(pa.binary()),
+                nulls(pa.float64()),
+            ],
+            schema=arrow_schema,
+        )
         if len(flat) == 0:
             return
+
         de = pc.dictionary_encode(flat)
         codes = de.indices.to_numpy(zero_copy_only=False).astype(np.int64)
         # One int64 sort key: (term code << 33) | doc position.
@@ -359,13 +384,12 @@ def _build_buckets(
         p_codes = codes_s[run_starts]
         p_docs = docs_s[run_starts]
         p_tfs = (run_ends - run_starts).astype(np.int64)
-        norms = bm25_norm(p_tfs, dl[p_docs], avgdl=avgdl, k1=k1, b=b)
         t_change = np.flatnonzero(
             np.concatenate(([True], p_codes[1:] != p_codes[:-1]))
         )
         bounds = np.concatenate((t_change, [len(p_codes)]))
         starts, ends = bounds[:-1], bounds[1:]
-        encoded = encode_postings_batch(p_docs, p_tfs, norms, starts, ends)
+        encoded = encode_postings_batch(p_docs, p_tfs, dl[p_docs], starts, ends)
         # Term strings via Arrow take (no Python string materialization);
         # hash60 per DISTINCT term only (vocabulary-sized) — identical to
         # int(md5[:15], 16) everywhere else in the engine.
@@ -379,12 +403,21 @@ def _build_buckets(
             ],
             dtype=np.int64,
         )
-        secs = np.full(len(starts), np.nan)
-        if len(secs):
+        n_terms = len(starts)
+        secs = np.full(n_terms, np.nan)
+        if n_terms:
             secs[0] = time.monotonic() - t_start
+
+        def tnulls(t):
+            return pa.nulls(n_terms, type=t)
+
         yield pa.RecordBatch.from_arrays(
             [
-                pa.array(np.full(len(starts), bucket, dtype=np.int32)),
+                pa.array(np.full(n_terms, bucket, dtype=np.int32)),
+                pa.array(np.ones(n_terms, dtype=np.int32)),
+                tnulls(pa.int64()),
+                tnulls(pa.string()),
+                tnulls(pa.int64()),
                 pa.array(hashes),
                 seg_terms,
                 pa.array((ends - starts).astype(np.int64)),
@@ -395,28 +428,33 @@ def _build_buckets(
             schema=arrow_schema,
         )
 
-    segments = part_f.select("text").mapInArrow(
-        encode_partition, schema=SEGMENT_SCHEMA
+    rows = part_f.mapInArrow(
+        encode_partition,
+        schema=(
+            "bucket int, kind int, doc_idx long, url string, dl long, "
+            "term_hash long, term string, df long, postings binary, "
+            "blockmeta binary, encode_secs double"
+        ),
     )
     with _phase("encode+write"):
-        segments.write.partitionBy("bucket").mode("append").parquet(
-            str(out / "segments")
+        rows.write.partitionBy("bucket").mode("append").parquet(
+            str(out / "index")
         )
 
     # Commit: lineage rows mark buckets durable; metrics ride along.
-    seg_read = spark.read.parquet(str(out / "segments")).filter(
-        F.col("bucket").isin(list(todo_set))
-    )
-    docmeta_r = spark.read.parquet(str(out / "docmeta")).filter(
+    idx_read = spark.read.parquet(str(out / "index")).filter(
         F.col("bucket").isin(list(todo_set))
     )
     docs_per_bucket = {
         r.bucket: r.cnt
-        for r in docmeta_r.groupBy("bucket").agg(F.count(F.lit(1)).alias("cnt")).collect()
+        for r in idx_read.filter(F.col("kind") == 0)
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
     }
     now = time.time()
     lineage_rows = [
-        (run_id, int(bkt), "committed", f"{out}/segments/bucket={bkt}",
+        (run_id, int(bkt), "committed", f"{out}/index/bucket={bkt}",
          int(docs_per_bucket.get(bkt, 0)), now)
         for bkt in sorted(todo_set)
     ]
@@ -425,7 +463,8 @@ def _build_buckets(
     ).parquet(str(out / "lineage.parquet"))
 
     metrics = (
-        seg_read.groupBy("bucket")
+        idx_read.filter(F.col("kind") == 1)
+        .groupBy("bucket")
         .agg(
             F.count(F.lit(1)).alias("n_terms"),
             F.sum("df").alias("n_postings"),
@@ -458,10 +497,10 @@ def _build_buckets(
 
 
 def _write_termstats(spark: SparkSession, out: Path, n_docs: int) -> None:
-    # Vocabulary-sized aggregation over the compact segment parquet —
+    # Vocabulary-sized aggregation over the compact segment rows —
     # the ONLY shuffle in the whole build (term strings ride in the
-    # dictionary-encoded segment column, so no corpus pass, no join).
-    seg = spark.read.parquet(str(out / "segments"))
+    # dictionary-encoded parquet column, so no corpus pass, no join).
+    seg = read_segments(spark, str(out))
     ts = (
         seg.groupBy("term", "term_hash")
         .agg(F.sum("df").cast("long").alias("df"))
@@ -482,26 +521,38 @@ def load_stats(out_dir: str) -> dict:
     return json.loads((Path(out_dir) / "stats.json").read_text())
 
 
+def read_index(spark: SparkSession, out_dir: str) -> DataFrame:
+    """The raw unified index rows (both kinds)."""
+    return spark.read.parquet(f"{out_dir}/index")
+
+
 def read_segments(
     spark: SparkSession, out_dir: str, with_terms: bool = True
 ) -> DataFrame:
-    # term strings live in the segments themselves (parquet dictionary
+    # term strings live in the segment rows themselves (parquet dictionary
     # encoding makes the column vocabulary-sized on disk); with_terms is
     # kept for API compatibility and simply no-ops.
-    return spark.read.parquet(f"{out_dir}/segments")
+    return (
+        read_index(spark, out_dir)
+        .filter(F.col("kind") == 1)
+        .select(
+            "bucket", "term_hash", "term", "df", "postings", "blockmeta",
+            "encode_secs",
+        )
+    )
 
 
 def read_lexicon(spark: SparkSession, out_dir: str) -> DataFrame:
     """(term, term_hash) vocabulary — derived from segments."""
-    return (
-        spark.read.parquet(f"{out_dir}/segments")
-        .select("term", "term_hash")
-        .distinct()
-    )
+    return read_segments(spark, out_dir).select("term", "term_hash").distinct()
 
 
 def read_docmeta(spark: SparkSession, out_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{out_dir}/docmeta")
+    return (
+        read_index(spark, out_dir)
+        .filter(F.col("kind") == 0)
+        .select("bucket", "doc_idx", "url", "dl")
+    )
 
 
 def read_termstats(spark: SparkSession, out_dir: str) -> DataFrame:

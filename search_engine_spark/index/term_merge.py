@@ -52,7 +52,7 @@ from pyspark.sql.types import (
 
 from ..functions.tokenize import doc_tokens_col
 from .build import BM25_B, BM25_K1
-from .codec import bm25_norm, decode_postings, encode_postings
+from .codec import decode_postings, encode_postings
 
 PARTIAL_SCHEMA = StructType(
     [
@@ -131,7 +131,6 @@ def build_term_index(
     from .codec import varint_decode, varint_encode
 
     ids = global_doc_ids(spark, pages)
-    avgdl = float(ids.agg(F.avg("dl")).collect()[0][0] or 0.0)
     postings = _postings_with_ids(pages, ids)
 
     # Salt on doc hash: a head term's postings spread over n_salts
@@ -155,8 +154,7 @@ def build_term_index(
             d_ids = g["doc_id"].to_numpy(dtype=np.int64)
             tfs = g["tf"].to_numpy(dtype=np.int64)
             dls = g["dl"].to_numpy(dtype=np.int64)
-            norms = bm25_norm(tfs, dls, avgdl, k1=k1, b=b)
-            enc = encode_postings(d_ids, tfs, norms)
+            enc = encode_postings(d_ids, tfs, dls)
             rows.append(
                 (term, int(salt), len(d_ids), enc.postings, enc.blockmeta,
                  varint_encode(dls.astype(np.uint64)))
@@ -187,8 +185,7 @@ def build_term_index(
             ids_all = ids_all[order]
             tfs_all = np.concatenate(tf_parts)[order]
             dls_all = np.concatenate(dl_parts)[order].astype(np.int64)
-            norms = bm25_norm(tfs_all, dls_all, avgdl, k1=k1, b=b)
-            enc = encode_postings(ids_all, tfs_all, norms)
+            enc = encode_postings(ids_all, tfs_all, dls_all)
             rows.append((term, int(len(ids_all)), enc.postings, enc.blockmeta))
         return pd.DataFrame(
             rows, columns=["term", "df", "postings", "blockmeta"]

@@ -8,8 +8,11 @@ skipping the same work — whole blocks of non-essential terms are never
 decoded:
 
 1. Terms sorted by global upper bound ``ub_t = qtf * idf * max_norm_t``
-   (descending). Decode + accumulate exact scores into a dense per-bucket
-   accumulator (``acc[doc_idx] += qtf * idf * norm``), term by term.
+   (descending), where ``max_norm_t`` is derived at query time from the
+   avgdl-independent per-block ``(max_tf, min_dl)`` bound pairs in the
+   segment metadata (codec.py). Decode + accumulate exact scores into a
+   dense per-bucket accumulator (``acc[doc_idx] += qtf * idf * norm``),
+   term by term.
 2. After each term, let θ = k-th largest accumulated score and
    ``rem`` = sum of the undecoded terms' ubs. Once θ >= rem, every doc
    not yet touched is provably out of the top-k (its max possible score
@@ -31,12 +34,21 @@ partition computes a local exact top-k (the reference's shard partials);
 a final window aggregation merges per-bucket partials into the global
 top-k (the reference's ``aggregate_result`` merge, ``src/lib.rs:190-226``,
 which Catalyst plans as partial/final automatically).
+
+Data access: ONE partition-pruned scan of the unified index table feeds
+the per-bucket kernel — term rows filtered to the query vocabulary by an
+int64 ``term_hash`` predicate (parquet-stats friendly), doc rows
+(doc_idx, dl) riding the same scan. Everything flows through Spark's
+data source (locality, pushdown); there is no executor-side filesystem
+side-channel. The per-query-batch cost of shipping each bucket's dl
+array is amortized over the whole query batch — batch serving scores
+thousands of queries against one shipment. Inside the kernel, postings
+are matched by the full term STRING (carried in the segment rows), so a
+60-bit hash collision between a query term and another term in the
+bucket cannot mis-score; the hash is only a pushdown filter.
 """
 
 from __future__ import annotations
-
-import json
-from pathlib import Path
 
 import numpy as np
 import pandas as pd
@@ -54,6 +66,7 @@ from pyspark.sql.types import (
 from ..functions.tokenize import query_tokens_py
 from .scoring import TOP_K
 from ..index.codec import BlockMeta, bm25_norm, decode_blocks, decode_postings
+from ..index.segments import load_stats, read_docmeta, read_index
 
 
 def maxscore_topk(
@@ -78,7 +91,7 @@ def maxscore_topk(
     for e in term_entries:
         meta = BlockMeta(e["blockmeta"])
         weight = e["qtf"] * e["idf"]
-        ub = weight * float(meta.max_norms.max())
+        ub = weight * float(meta.max_norms(avgdl, k1=k1, b=b).max())
         entries.append((ub, weight, meta, e["postings"]))
     entries.sort(key=lambda x: -x[0])
     ubs = np.array([e[0] for e in entries])
@@ -143,12 +156,13 @@ def wand_topk(
 ) -> DataFrame:
     """(query_id, rank, url, score) — block-max MaxScore over segments.
 
-    Plan: term-filtered segment scan (predicate pushed to parquet) ->
-    applyInPandas per bucket (local top-k; docmeta dl array read
-    columnar, executor-side) -> broadcast-join candidates to docmeta for
-    url resolution -> window for the global top-k merge.
+    Plan: one unified index scan (term rows pruned to the query
+    vocabulary via an int64 predicate pushed to parquet; doc rows ride
+    along) -> applyInPandas per bucket (local top-k) -> broadcast-join
+    candidates to docmeta for url resolution -> window for the global
+    top-k merge.
     """
-    stats = json.loads((Path(index_dir) / "stats.json").read_text())
+    stats = load_stats(index_dir)
     avgdl, k1, b = stats["avgdl"], stats["k1"], stats["b"]
 
     qrows = queries.select("query_id", "query_string").collect()
@@ -169,45 +183,61 @@ def wand_topk(
         .collect()
     )
     idf = {r.term: r.idf for r in ts}
-    # Segments are keyed by the term's xxhash64; termstats carries the
-    # (term, term_hash) mapping for exactly the query vocabulary, so the
-    # segment scan prunes on an int64 predicate (parquet stats friendly).
+    # Segments are keyed by the term's 60-bit md5-derived hash; termstats
+    # carries the (term, term_hash) mapping for exactly the query
+    # vocabulary, so the scan prunes on an int64 predicate (parquet stats
+    # friendly). The hash is ONLY a filter — the kernel matches postings
+    # by the full term string, so collisions cannot mis-score.
     term_hash = {r.term: r.term_hash for r in ts}
     bc = spark.sparkContext.broadcast(
-        {"query_terms": query_terms, "idf": idf, "term_hash": term_hash,
-         "avgdl": avgdl, "k1": k1, "b": b, "k": k, "index_dir": index_dir}
+        {"query_terms": query_terms, "idf": idf,
+         "avgdl": avgdl, "k1": k1, "b": b, "k": k}
     )
 
-    seg = spark.read.parquet(f"{index_dir}/segments").filter(
-        F.col("term_hash").isin(list(term_hash.values()))
-    ).select("bucket", "term_hash", "postings", "blockmeta")
+    scan = (
+        read_index(spark, index_dir)
+        .filter(
+            (F.col("kind") == 0)
+            | (
+                (F.col("kind") == 1)
+                & F.col("term_hash").isin(list(term_hash.values()))
+            )
+        )
+        .select("bucket", "kind", "doc_idx", "dl", "term", "postings", "blockmeta")
+    )
 
     def run_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
-        import pyarrow.parquet as pq
-
         cfg = bc.value
         bucket = int(pdf["bucket"].iloc[0])
-        dm = pq.read_table(
-            f"{cfg['index_dir']}/docmeta/bucket={bucket}", columns=["doc_idx", "dl"]
+        kinds = pdf["kind"].to_numpy()
+        docs = pdf[kinds == 0]
+        terms_pdf = pdf[kinds == 1]
+        n_docs = len(docs)
+        if n_docs == 0 or len(terms_pdf) == 0:
+            return pd.DataFrame(
+                columns=["query_id", "bucket", "doc_idx", "score"]
+            ).astype({"bucket": "int32", "doc_idx": "int64", "score": "float64"})
+        dls = np.zeros(n_docs, dtype=np.int64)
+        dls[docs["doc_idx"].to_numpy(dtype=np.int64)] = docs["dl"].to_numpy(
+            dtype=np.int64
         )
-        order = np.argsort(dm["doc_idx"].to_numpy())
-        dls = dm["dl"].to_numpy()[order].astype(np.int64)
-        by_hash = {
-            h: (p, m)
-            for h, p, m in zip(pdf["term_hash"], pdf["postings"], pdf["blockmeta"])
+        by_term = {
+            t: (p, m)
+            for t, p, m in zip(
+                terms_pdf["term"], terms_pdf["postings"], terms_pdf["blockmeta"]
+            )
         }
-        t2h = cfg["term_hash"]
         rows = []
         for qid, qt in cfg["query_terms"].items():
             entries = [
                 {
-                    "postings": by_hash[t2h[t]][0],
-                    "blockmeta": by_hash[t2h[t]][1],
+                    "postings": by_term[t][0],
+                    "blockmeta": by_term[t][1],
                     "idf": cfg["idf"][t],
                     "qtf": n,
                 }
                 for t, n in qt.items()
-                if t in t2h and t2h[t] in by_hash and t in cfg["idf"]
+                if t in by_term and t in cfg["idf"]
             ]
             for doc_idx, score in maxscore_topk(
                 entries, dls, cfg["avgdl"], cfg["k"], cfg["k1"], cfg["b"]
@@ -217,13 +247,11 @@ def wand_topk(
             rows, columns=["query_id", "bucket", "doc_idx", "score"]
         )
 
-    candidates = seg.groupBy("bucket").applyInPandas(
+    candidates = scan.groupBy("bucket").applyInPandas(
         run_bucket, schema=CANDIDATE_SCHEMA
     )
 
-    docmeta = spark.read.parquet(f"{index_dir}/docmeta").select(
-        "bucket", "doc_idx", "url"
-    )
+    docmeta = read_docmeta(spark, index_dir).select("bucket", "doc_idx", "url")
     resolved = F.broadcast(candidates).join(docmeta, ["bucket", "doc_idx"])
 
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("url"))

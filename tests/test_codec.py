@@ -50,8 +50,7 @@ def test_encode_decode_roundtrip(n):
     docids = np.cumsum(gaps) - 1
     tfs = rng.integers(1, 50, size=n).astype(np.uint64)
     dls = rng.integers(10, 500, size=n)
-    norms = bm25_norm(tfs, dls, avgdl=100.0)
-    enc = encode_postings(docids, tfs, norms)
+    enc = encode_postings(docids, tfs, dls)
     got_ids, got_tfs = decode_postings(enc.postings, enc.blockmeta)
     assert got_ids.tolist() == docids.tolist()
     assert got_tfs.tolist() == tfs.tolist()
@@ -62,14 +61,24 @@ def test_blockmax_invariant(n):
     rng = np.random.default_rng(7 + n)
     docids = np.cumsum(rng.integers(1, 9, size=n)) - 1
     tfs = rng.integers(1, 50, size=n).astype(np.uint64)
-    norms = bm25_norm(tfs, rng.integers(10, 500, size=n), avgdl=100.0)
-    enc = encode_postings(docids, tfs, norms)
+    dls = rng.integers(10, 500, size=n)
+    norms = bm25_norm(tfs, dls, avgdl=100.0)
+    enc = encode_postings(docids, tfs, dls)
     meta = BlockMeta(enc.blockmeta)
+    ub = meta.max_norms(100.0)
     for bi in range(meta.n_blocks):
         s = bi * meta.block_size
         e = min(s + meta.block_size, n)
-        # float32 round-up tolerance: stored max must dominate true max
-        assert meta.max_norms[bi] >= np.float32(norms[s:e].max()) * (1 - 1e-6)
+        # (max_tf, min_dl) bound pair must dominate every norm in the
+        # block, for any avgdl (checked at a few avgdl values).
+        assert meta.max_tfs[bi] == tfs[s:e].max()
+        assert meta.min_dls[bi] == dls[s:e].min()
+        assert ub[bi] >= norms[s:e].max() - 1e-12
+        for avgdl in (25.0, 400.0):
+            assert (
+                meta.max_norms(avgdl)[bi]
+                >= bm25_norm(tfs[s:e], dls[s:e], avgdl).max() - 1e-12
+            )
         assert meta.last_docids[bi] == docids[e - 1]
 
 
@@ -78,8 +87,7 @@ def test_standalone_block_decode(n, blocks):
     rng = np.random.default_rng(n)
     docids = np.cumsum(rng.integers(1, 100, size=n)) - 1
     tfs = rng.integers(1, 9, size=n).astype(np.uint64)
-    norms = bm25_norm(tfs, rng.integers(10, 500, size=n), avgdl=80.0)
-    enc = encode_postings(docids, tfs, norms)
+    enc = encode_postings(docids, tfs, rng.integers(10, 500, size=n))
     meta = BlockMeta(enc.blockmeta)
     got_ids, got_tfs = decode_blocks(enc.postings, meta, np.array(blocks))
     exp_ids, exp_tfs = [], []
@@ -94,7 +102,7 @@ def test_standalone_block_decode(n, blocks):
 def test_rejects_unsorted():
     with pytest.raises(ValueError):
         encode_postings(
-            np.array([3, 1]), np.array([1, 1]), np.array([0.5, 0.5])
+            np.array([3, 1]), np.array([1, 1]), np.array([10, 10])
         )
 
 
@@ -103,8 +111,7 @@ def test_compression_beats_raw():
     n = 10_000
     docids = np.cumsum(rng.integers(1, 50, size=n)) - 1
     tfs = np.minimum(rng.geometric(0.5, size=n), 100).astype(np.uint64)
-    norms = bm25_norm(tfs, rng.integers(10, 500, size=n), avgdl=100.0)
-    enc = encode_postings(docids, tfs, norms)
+    enc = encode_postings(docids, tfs, rng.integers(10, 500, size=n))
     raw = 8 * n + 8 * n  # int64 docid + int64 tf
     assert len(enc.postings) < raw / 4
 
@@ -115,27 +122,27 @@ def test_batch_encode_matches_single():
     from search_engine_spark.index.codec import encode_postings_batch
 
     rng = np.random.default_rng(7)
-    doc_parts, tf_parts, norm_parts, starts, ends = [], [], [], [], []
+    doc_parts, tf_parts, dl_parts, starts, ends = [], [], [], [], []
     off = 0
     for df in [1, 2, 127, 128, 129, 300, 5, 1, 256]:
         ids = np.cumsum(rng.integers(1, 40, size=df)) - 1
         tfs = np.minimum(rng.geometric(0.4, size=df), 50).astype(np.uint64)
-        norms = bm25_norm(tfs, rng.integers(10, 500, size=df), avgdl=90.0)
+        dls = rng.integers(10, 500, size=df)
         doc_parts.append(ids)
         tf_parts.append(tfs)
-        norm_parts.append(norms)
+        dl_parts.append(dls)
         starts.append(off)
         ends.append(off + df)
         off += df
     batch = encode_postings_batch(
         np.concatenate(doc_parts),
         np.concatenate(tf_parts),
-        np.concatenate(norm_parts),
+        np.concatenate(dl_parts),
         np.array(starts),
         np.array(ends),
     )
     assert len(batch) == len(doc_parts)
-    for enc_b, ids, tfs, norms in zip(batch, doc_parts, tf_parts, norm_parts):
-        enc_s = encode_postings(ids, tfs, norms)
+    for enc_b, ids, tfs, dls in zip(batch, doc_parts, tf_parts, dl_parts):
+        enc_s = encode_postings(ids, tfs, dls)
         assert enc_b.postings == enc_s.postings
         assert enc_b.blockmeta == enc_s.blockmeta

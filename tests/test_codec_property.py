@@ -38,16 +38,18 @@ def test_postings_roundtrip_any_blocksize(gaps, block_size):
     n = len(docids)
     rng = np.random.default_rng(n)
     tfs = rng.integers(1, 100, size=n).astype(np.uint64)
-    norms = bm25_norm(tfs, rng.integers(10, 500, size=n), avgdl=100.0)
-    enc = encode_postings(docids, tfs, norms, block_size=block_size)
+    dls = rng.integers(10, 500, size=n)
+    norms = bm25_norm(tfs, dls, avgdl=100.0)
+    enc = encode_postings(docids, tfs, dls, block_size=block_size)
     got_ids, got_tfs = decode_postings(enc.postings, enc.blockmeta)
     assert got_ids.tolist() == docids.tolist()
     assert got_tfs.tolist() == tfs.tolist()
     # block-max invariant: every block's max_norm >= max norm in block
     meta = BlockMeta(enc.blockmeta)
+    ub = meta.max_norms(100.0)
     for bi in range(meta.n_blocks):
         s, e = bi * block_size, min((bi + 1) * block_size, n)
-        assert meta.max_norms[bi] >= np.float32(norms[s:e].max()) - np.float32(1e-6)
+        assert ub[bi] >= norms[s:e].max() - 1e-12
         assert meta.last_docids[bi] == docids[e - 1]
         # per-block decode equals the slice
         ids_b, tfs_b = decode_blocks(enc.postings, meta, np.array([bi]))
@@ -67,27 +69,27 @@ def test_postings_roundtrip_any_blocksize(gaps, block_size):
     )
 )
 def test_batch_equals_single_property(term_specs):
-    doc_parts, tf_parts, norm_parts, starts, ends = [], [], [], [], []
+    doc_parts, tf_parts, dl_parts, starts, ends = [], [], [], [], []
     off = 0
     for df, seed in term_specs:
         rng = np.random.default_rng(seed)
         ids = np.cumsum(rng.integers(1, 50, size=df)) - 1
         tfs = rng.integers(1, 30, size=df).astype(np.uint64)
-        norms = bm25_norm(tfs, rng.integers(10, 400, size=df), avgdl=77.0)
+        dls = rng.integers(10, 400, size=df)
         doc_parts.append(ids)
         tf_parts.append(tfs)
-        norm_parts.append(norms)
+        dl_parts.append(dls)
         starts.append(off)
         ends.append(off + df)
         off += df
     batch = encode_postings_batch(
         np.concatenate(doc_parts),
         np.concatenate(tf_parts),
-        np.concatenate(norm_parts),
+        np.concatenate(dl_parts),
         np.array(starts),
         np.array(ends),
     )
-    for enc_b, ids, tfs, norms in zip(batch, doc_parts, tf_parts, norm_parts):
-        enc_s = encode_postings(ids, tfs, norms)
+    for enc_b, ids, tfs, dls in zip(batch, doc_parts, tf_parts, dl_parts):
+        enc_s = encode_postings(ids, tfs, dls)
         assert enc_b.postings == enc_s.postings
         assert enc_b.blockmeta == enc_s.blockmeta

@@ -160,7 +160,7 @@ def test_maxscore_kernel_vs_bruteforce():
         ids = np.sort(rng.choice(n_docs, size=df, replace=False)).astype(np.int64)
         tfs = np.minimum(rng.geometric(0.4, size=df), 50).astype(np.uint64)
         norms = bm25_norm(tfs, dls[ids], avgdl)
-        enc = encode_postings(ids, tfs, norms)
+        enc = encode_postings(ids, tfs, dls[ids])
         idf = float(rng.uniform(0.1, 5.0))
         qtf = int(rng.integers(1, 3))
         entries.append(

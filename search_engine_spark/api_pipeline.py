@@ -72,8 +72,11 @@ def q_ngram_jaccard_pairs(spark, sf_dir):
 # --- embeddings -----------------------------------------------------------
 
 
-def q_cosine_neardup(spark, sf_dir):
-    return embeddings.cosine_neardup_pairs(_embs(spark, sf_dir))
+def q_cosine_neardup_lsh(spark, sf_dir):
+    """Banded (LSH) near-dup pairs + exact cosine re-check — the
+    sub-quadratic gated shape; the all-pairs version is test-only
+    (recall oracle in tests/test_pipeline_units.py)."""
+    return embeddings.cosine_neardup_lsh_pairs(_embs(spark, sf_dir))
 
 
 def q_ann_brute_topk(spark, sf_dir):
@@ -140,7 +143,7 @@ PIPELINE_QUERIES: dict = {
     "simhash_signatures": q_simhash_signatures,
     "simhash_pairs": q_simhash_pairs,
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
-    "cosine_neardup": q_cosine_neardup,
+    "cosine_neardup_lsh": q_cosine_neardup_lsh,
     "ann_brute_topk": q_ann_brute_topk,
     "ann_lsh_topk": q_ann_lsh_topk,
     "multimodal_features": q_multimodal_features,
@@ -158,7 +161,7 @@ PIPELINE_ORACLES: dict = {
     "simhash_signatures": dedup.SQL_SIMHASH_SIGNATURES,
     "simhash_pairs": dedup.SQL_SIMHASH_PAIRS,
     "ngram_jaccard_pairs": dedup.SQL_NGRAM_JACCARD_PAIRS,
-    "cosine_neardup": embeddings.SQL_COSINE_NEARDUP_PAIRS,
+    "cosine_neardup_lsh": embeddings.SQL_COSINE_NEARDUP_LSH_PAIRS,
     "ann_brute_topk": embeddings.SQL_ANN_BRUTE_TOPK,
     "ann_lsh_topk": embeddings.SQL_ANN_LSH_TOPK,
     "multimodal_features": multimodal.SQL_MULTIMODAL_FEATURES,

@@ -440,8 +440,11 @@ def _build_buckets(spark, part, out: Path, todo, run_id) -> None:
         rows.write.partitionBy("bucket").mode("append").parquet(
             str(out / "index")
         )
+    _commit_buckets(spark, out, todo_set, run_id)
 
-    # Commit: lineage rows mark buckets durable; metrics ride along.
+
+def _commit_buckets(spark, out: Path, todo_set: set, run_id: str) -> None:
+    """Commit: lineage rows mark buckets durable; metrics ride along."""
     idx_read = spark.read.parquet(str(out / "index")).filter(
         F.col("bucket").isin(list(todo_set))
     )
@@ -494,6 +497,196 @@ def _build_buckets(spark, part, out: Path, todo, run_id) -> None:
         .write.mode("append")
         .parquet(str(out / "metrics.parquet"))
     )
+
+
+def build_segments_from_postings(
+    spark: SparkSession,
+    postings: DataFrame,
+    out_dir: str,
+    n_buckets: int = 16,
+    run_id: str = "compact-0",
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> dict:
+    """Build a segment index from an already-tokenized postings relation
+    ``(url, term, tf, dl)`` — one row per (url, term), ``dl`` repeated
+    per row. No text pass: this is the generation-compaction path
+    (streaming/ingest.py) where the inputs are decoded from existing
+    segments, and it doubles as a general "index from relation" ctor
+    (SURVEY.md §2 B2). Produces the same unified layout as
+    :func:`build_segments`; global stats (N, avgdl, idf) are computed
+    over the union, which is exactly what compaction exists to restore.
+
+    ``url`` must be unique per document across the input (each (url,
+    term) row carries the doc's full tf — true for the union of
+    doc-disjoint generations).
+    """
+    import pyarrow as pa
+
+    out = Path(out_dir)
+    out.mkdir(parents=True, exist_ok=True)
+    t0 = time.monotonic()
+
+    part = postings.select("url", "term", "tf", "dl").repartition(
+        n_buckets, "url"
+    ).sortWithinPartitions("url", "term")
+
+    layout_path = out / "layout.json"
+    layout = {
+        "n_buckets": n_buckets,
+        "mode": "url-hash-postings",
+        "k1": k1,
+        "b": b,
+        "codec": CODEC_VERSION,
+    }
+    if layout_path.exists():
+        prev = json.loads(layout_path.read_text())
+        if prev != layout:
+            raise ValueError(
+                f"index layout mismatch under {out_dir}: {prev} != {layout}"
+            )
+    else:
+        layout_path.write_text(json.dumps(layout))
+
+    arrow_schema_str = (
+        "bucket int, kind int, doc_idx long, url string, dl long, "
+        "term_hash long, term string, df long, postings binary, "
+        "blockmeta binary, encode_secs double"
+    )
+
+    def encode_partition(batches):
+        import hashlib
+
+        import pyarrow.compute as pc
+        from pyspark import TaskContext
+
+        t_start = time.monotonic()
+        tbl_chunks = [pa.Table.from_batches([rb]) for rb in batches]
+        if not tbl_chunks:
+            return
+        bucket = TaskContext.get().partitionId()
+        tbl = pa.concat_tables(tbl_chunks).combine_chunks()
+        if len(tbl) == 0:
+            return
+        urls = tbl.column("url").combine_chunks()
+        terms = tbl.column("term").combine_chunks()
+        tf = tbl.column("tf").to_numpy(zero_copy_only=False).astype(np.int64)
+        dlr = tbl.column("dl").to_numpy(zero_copy_only=False).astype(np.int64)
+        # Rows arrive sorted by (url, term): doc_idx = rank of url.
+        u_enc = pc.dictionary_encode(urls)
+        doc_of = u_enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        uniq_urls = u_enc.dictionary  # first-occurrence order == url order
+        n_docs = len(uniq_urls)
+        dl_per_doc = np.zeros(n_docs, dtype=np.int64)
+        dl_per_doc[doc_of] = dlr
+
+        arrow_schema = pa.schema(
+            [
+                ("bucket", pa.int32()), ("kind", pa.int32()),
+                ("doc_idx", pa.int64()), ("url", pa.string()),
+                ("dl", pa.int64()), ("term_hash", pa.int64()),
+                ("term", pa.string()), ("df", pa.int64()),
+                ("postings", pa.binary()), ("blockmeta", pa.binary()),
+                ("encode_secs", pa.float64()),
+            ]
+        )
+
+        def nulls(n, t):
+            return pa.nulls(n, type=t)
+
+        yield pa.RecordBatch.from_arrays(
+            [
+                pa.array(np.full(n_docs, bucket, dtype=np.int32)),
+                pa.array(np.zeros(n_docs, dtype=np.int32)),
+                pa.array(np.arange(n_docs, dtype=np.int64)),
+                uniq_urls,
+                pa.array(dl_per_doc),
+                nulls(n_docs, pa.int64()), nulls(n_docs, pa.string()),
+                nulls(n_docs, pa.int64()), nulls(n_docs, pa.binary()),
+                nulls(n_docs, pa.binary()), nulls(n_docs, pa.float64()),
+            ],
+            schema=arrow_schema,
+        )
+
+        t_enc = pc.dictionary_encode(terms)
+        codes = t_enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        key = (codes << 33) | doc_of
+        order = np.argsort(key, kind="stable")
+        p_codes = codes[order]
+        p_docs = doc_of[order]
+        p_tfs = tf[order]
+        t_change = np.flatnonzero(
+            np.concatenate(([True], p_codes[1:] != p_codes[:-1]))
+        )
+        bounds = np.concatenate((t_change, [len(p_codes)]))
+        starts, ends = bounds[:-1], bounds[1:]
+        encoded = encode_postings_batch(
+            p_docs, p_tfs, dl_per_doc[p_docs], starts, ends
+        )
+        seg_terms = t_enc.dictionary.take(
+            pa.array(p_codes[starts], type=pa.int32())
+        )
+        hashes = np.array(
+            [
+                int(hashlib.md5(t.encode("utf-8")).hexdigest()[:15], 16)
+                for t in seg_terms.to_pylist()
+            ],
+            dtype=np.int64,
+        )
+        n_terms = len(starts)
+        secs = np.full(n_terms, np.nan)
+        if n_terms:
+            secs[0] = time.monotonic() - t_start
+        yield pa.RecordBatch.from_arrays(
+            [
+                pa.array(np.full(n_terms, bucket, dtype=np.int32)),
+                pa.array(np.ones(n_terms, dtype=np.int32)),
+                nulls(n_terms, pa.int64()), nulls(n_terms, pa.string()),
+                nulls(n_terms, pa.int64()),
+                pa.array(hashes),
+                seg_terms,
+                pa.array((ends - starts).astype(np.int64)),
+                pa.array([e.postings for e in encoded], type=pa.binary()),
+                pa.array([e.blockmeta for e in encoded], type=pa.binary()),
+                pa.array(secs, from_pandas=True),
+            ],
+            schema=arrow_schema,
+        )
+
+    committed = _committed_buckets(spark, out)
+    _clean_uncommitted(out, committed)
+    todo = sorted(set(range(n_buckets)) - committed)
+    if todo:
+        part_f = part.filter(F.spark_partition_id().isin(todo))
+        rows = part_f.mapInArrow(encode_partition, schema=arrow_schema_str)
+        rows.write.partitionBy("bucket").mode("append").parquet(
+            str(out / "index")
+        )
+        _commit_buckets(spark, out, set(todo), run_id)
+
+    n_docs = avgdl = None
+    if len(_committed_buckets(spark, out)) == n_buckets:
+        agg = (
+            spark.read.parquet(str(out / "index"))
+            .filter(F.col("kind") == 0)
+            .agg(F.count(F.lit(1)).alias("n"), F.avg("dl").alias("avgdl"))
+            .collect()[0]
+        )
+        n_docs, avgdl = int(agg["n"]), float(agg["avgdl"] or 0.0)
+        _write_termstats(spark, out, n_docs)
+        (out / "stats.json").write_text(
+            json.dumps(
+                {"n_docs": n_docs, "avgdl": avgdl, "n_buckets": n_buckets,
+                 "k1": k1, "b": b}
+            )
+        )
+    elapsed = time.monotonic() - t0
+    return {
+        "built_buckets": len(todo),
+        "n_docs": n_docs,
+        "avgdl": avgdl,
+        "elapsed_secs": elapsed,
+    }
 
 
 def _write_termstats(spark: SparkSession, out: Path, n_docs: int) -> None:
@@ -552,6 +745,57 @@ def read_docmeta(spark: SparkSession, out_dir: str) -> DataFrame:
         read_index(spark, out_dir)
         .filter(F.col("kind") == 0)
         .select("bucket", "doc_idx", "url", "dl")
+    )
+
+
+def read_postings_relation(spark: SparkSession, out_dir: str) -> DataFrame:
+    """Decode the compressed segments back to ``(url, term, tf, dl)``.
+
+    The inverse of the build: one grouped scan per bucket decodes every
+    posting list and resolves doc_idx -> (url, dl) against the bucket's
+    doc rows — no text involved. This is what generation compaction
+    feeds into :func:`build_segments_from_postings`.
+    """
+    import pandas as pd
+
+    from .codec import decode_postings
+
+    idx = read_index(spark, out_dir).select(
+        "bucket", "kind", "doc_idx", "url", "dl", "term", "postings", "blockmeta"
+    )
+
+    def decode_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+        kinds = pdf["kind"].to_numpy()
+        docs = pdf[kinds == 0]
+        terms = pdf[kinds == 1]
+        n_docs = len(docs)
+        if n_docs == 0 or len(terms) == 0:
+            return pd.DataFrame(columns=["url", "term", "tf", "dl"]).astype(
+                {"tf": "int64", "dl": "int64"}
+            )
+        urls = np.empty(n_docs, dtype=object)
+        dls = np.zeros(n_docs, dtype=np.int64)
+        di = docs["doc_idx"].to_numpy(dtype=np.int64)
+        urls[di] = docs["url"].to_numpy()
+        dls[di] = docs["dl"].to_numpy(dtype=np.int64)
+        url_parts, term_parts, tf_parts, dl_parts = [], [], [], []
+        for t, p, m in zip(terms["term"], terms["postings"], terms["blockmeta"]):
+            ids, tfs = decode_postings(bytes(p), bytes(m))
+            url_parts.append(urls[ids])
+            term_parts.append(np.full(len(ids), t, dtype=object))
+            tf_parts.append(tfs.astype(np.int64))
+            dl_parts.append(dls[ids])
+        return pd.DataFrame(
+            {
+                "url": np.concatenate(url_parts),
+                "term": np.concatenate(term_parts),
+                "tf": np.concatenate(tf_parts),
+                "dl": np.concatenate(dl_parts),
+            }
+        )
+
+    return idx.groupBy("bucket").applyInPandas(
+        decode_bucket, schema="url string, term string, tf long, dl long"
     )
 
 

@@ -106,6 +106,64 @@ def cosine_neardup_pairs(docs_embs: DataFrame) -> DataFrame:
     )
 
 
+def cosine_neardup_lsh_pairs(docs_embs: DataFrame) -> DataFrame:
+    """(vec_id_a, vec_id_b, cosine) — near-dup pairs at sub-quadratic cost.
+
+    Candidate generation is the banded random-hyperplane LSH equi-join
+    (pairs must share >= 1 of the 4 4-bit bands — the same band keys as
+    :func:`ann_lsh_topk`); every candidate is then re-checked with the
+    exact cosine and reported iff cosine >= 0.3. Same semantics as
+    :func:`cosine_neardup_pairs` restricted to band-colliding pairs —
+    this is the gated/scale shape (no cartesian plan anywhere: the only
+    joins are the band equi-join and two id equi-joins back to the
+    vector table). Recall vs the exact all-pairs version is measured in
+    tests/test_pipeline_units.py; the all-pairs version stays as the
+    recall oracle only. At 10^9 rows the band join is a shuffle
+    partitioned by (band_idx, band_val); write-time bucketing
+    (Iceberg ``bucket(B, band_val)``) turns it into a co-located join.
+    """
+    n = _vectors(docs_embs)
+    sk = _sketch_bits(n).select("vec_id", "band_idx", "band_val")
+    a, b = sk.alias("a"), sk.alias("b")
+    pairs = (
+        a.join(
+            b,
+            on=[
+                F.col("a.band_idx") == F.col("b.band_idx"),
+                F.col("a.band_val") == F.col("b.band_val"),
+                F.col("a.vec_id") < F.col("b.vec_id"),
+            ],
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_id_a"),
+            F.col("b.vec_id").alias("vec_id_b"),
+        )
+        .distinct()
+    )
+    va = n.select(
+        F.col("vec_id").alias("vec_id_a"),
+        F.col("v").alias("va"),
+        F.col("nrm").alias("na"),
+    )
+    vb = n.select(
+        F.col("vec_id").alias("vec_id_b"),
+        F.col("v").alias("vb"),
+        F.col("nrm").alias("nb"),
+    )
+    return (
+        pairs.join(va, "vec_id_a")
+        .join(vb, "vec_id_b")
+        .select(
+            "vec_id_a",
+            "vec_id_b",
+            _round6(
+                _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+            ).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= NEARDUP_MIN_COS)
+    )
+
+
 def _ranked_topk(scored: DataFrame) -> DataFrame:
     from pyspark.sql import Window
 
@@ -295,4 +353,31 @@ ranked AS (
     FROM scored
 )
 SELECT query_id, rank, vec_id, cosine FROM ranked WHERE rank <= {ANN_K}
+"""
+
+SQL_COSINE_NEARDUP_LSH_PAIRS = rf"""
+WITH {_SQL_VECTORS},
+bits AS (
+    SELECT vec_id, v, nrm,
+           {_SQL_BITS}
+    FROM n
+),
+sk AS (
+    SELECT vec_id,
+           unnest([{_SQL_BAND_VALS}]) AS band_val,
+           generate_subscripts([{", ".join("1" for _ in range(LSH_BANDS))}], 1) - 1
+               AS band_idx
+    FROM bits
+),
+pairs AS (
+    SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+    FROM sk a JOIN sk b
+      ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+     AND a.vec_id < b.vec_id
+)
+SELECT id_a AS vec_id_a, id_b AS vec_id_b,
+       round({_sql_dot('x.v', 'y.v')} / (x.nrm * y.nrm) + 1e-9, 6) AS cosine
+FROM pairs JOIN n x ON x.vec_id = id_a JOIN n y ON y.vec_id = id_b
+WHERE round({_sql_dot('x.v', 'y.v')} / (x.nrm * y.nrm) + 1e-9, 6)
+      >= {NEARDUP_MIN_COS}
 """

@@ -16,7 +16,7 @@ functions are JVM expressions inside whole-stage codegen).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .common import hash60_col, round6_col, sql_hash60, sql_words, words_col
@@ -127,11 +127,14 @@ def fingerprints(docs: DataFrame) -> DataFrame:
     row per document (fp_xor = XOR of the distinct selected hashes, an
     order-insensitive digest).
 
-    Scale note: posexplode + a bounded window over (doc_id, pos) —
-    the window partitions by doc_id, so state per task is one document's
-    gram list; no cross-document shuffle beyond the doc_id hash
-    partition. Docs shorter than 3 words yield no grams and are absent
-    from the output (same on the oracle side).
+    Scale note: winnowing is a per-document computation, so it is
+    expressed entirely as array expressions over the gram array —
+    ZERO shuffle (the plan contains no Exchange; asserted in
+    tests/test_pipeline_units.py). The earlier posexplode + window
+    formulation paid a corpus-sized shuffle+sort for what is bounded
+    per-row state; a 100 TB corpus scans once instead. Docs shorter
+    than 3 words yield no grams and are absent from the output (same
+    on the oracle side).
     """
     w = words_col("text")
     grams = F.transform(
@@ -141,20 +144,29 @@ def fingerprints(docs: DataFrame) -> DataFrame:
         ),
     )
     grams = F.when(F.size(w) >= 3, grams).otherwise(F.array().cast("array<string>"))
-    g = docs.select(
-        F.col("doc_id").cast("long").alias("doc_id"),
-        F.posexplode(grams).alias("pos", "gram"),
-    ).select("doc_id", "pos", hash60_col(F.col("gram")).alias("h"))
-    win = (
-        Window.partitionBy("doc_id")
-        .orderBy("pos")
-        .rowsBetween(Window.currentRow, WINNOW_WINDOW - 1)
-    )
-    fp = g.select("doc_id", F.min("h").over(win).alias("fp")).distinct()
-    return fp.groupBy("doc_id").agg(
-        F.count(F.lit(1)).cast("long").alias("n_fingerprints"),
-        F.min("fp").alias("fp_min"),
-        F.expr("bit_xor(fp)").alias("fp_xor"),
+    h = F.transform(grams, lambda g: hash60_col(g))
+    n = F.size(h)
+    # Sliding min over each window start i (window clipped at the array
+    # end — identical to ROWS BETWEEN CURRENT ROW AND W-1 FOLLOWING).
+    # sequence(1, 0) would be *descending*, so short-circuit n == 0.
+    mins = F.when(
+        n >= 1,
+        F.transform(
+            F.sequence(F.lit(1), n),
+            lambda i: F.array_min(F.slice(h, i, WINNOW_WINDOW)),
+        ),
+    ).otherwise(F.array().cast("array<long>"))
+    sel = F.array_distinct(mins)
+    picked = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"), sel.alias("sel")
+    ).filter(F.size("sel") > 0)
+    return picked.select(
+        "doc_id",
+        F.size("sel").cast("long").alias("n_fingerprints"),
+        F.array_min("sel").alias("fp_min"),
+        F.aggregate(
+            "sel", F.lit(0).cast("long"), lambda a, x: a.bitwiseXOR(x)
+        ).alias("fp_xor"),
     )
 
 

@@ -13,8 +13,9 @@ Serving unions generations: every generation is doc-disjoint by
 construction (a page arrives in exactly one micro-batch), so per-bucket
 top-k within each generation + the global top-k merge stays exact —
 the same scatter-gather argument as multi-bucket serving. Generation
-compaction (merging many small generations into one) is the same
-``build_segments`` run over the union of their docmeta/url sets.
+compaction (:func:`compact_generations`) merges many small generations
+into one WITHOUT re-reading any text: segments decode back to the
+(url, term, tf, dl) relation and re-encode with union-global stats.
 
 ``foreachBatch`` is the right tool (vs a custom sink): the index build
 is a multi-job batch dataflow (docmeta, lexicon, encode, commit), and
@@ -68,7 +69,14 @@ def index_stream(
 
 
 def list_generations(out_dir: str) -> list[str]:
-    """Complete (stats.json present) generation directories, sorted."""
+    """Complete generation directories, sorted by batch id.
+
+    Completeness marker: ``stats.json``, which ``build_segments`` writes
+    LAST — strictly after every bucket's lineage commit and the
+    termstats write — so a generation listed here is never a partial
+    index from a crashed micro-batch (the batch retry resumes and only
+    then writes stats.json).
+    """
     base = Path(out_dir)
     if not base.exists():
         return []
@@ -91,6 +99,58 @@ def generation_stats(out_dir: str) -> dict:
         "avgdl": (dl_sum / total_docs) if total_docs else 0.0,
         "n_generations": len(list_generations(out_dir)),
     }
+
+
+def compact_generations(
+    spark: SparkSession,
+    out_dir: str,
+    n_buckets: int = 16,
+) -> str | None:
+    """Merge all complete generations into ONE, restoring globally
+    consistent BM25 stats (N, avgdl, idf over the union) — the remedy
+    the per-generation-stats caveat in :func:`query_generations`
+    documents.
+
+    No text pass: each generation's segments are decoded back to the
+    ``(url, term, tf, dl)`` relation (``read_postings_relation``) and
+    re-encoded by ``build_segments_from_postings`` — compaction moves
+    compressed-postings-sized data, exactly like a Lucene segment merge.
+    The compacted index is built into a temp dir first, then swapped in
+    under the highest existing batch id (streaming batch ids only grow,
+    so the next micro-batch cannot collide). The swap (delete old gens,
+    rename tmp) is not atomic across directories; a production deploy
+    would gate readers on a manifest — documented trade-off.
+
+    Returns the compacted generation directory (or the single existing
+    one if there is nothing to merge).
+    """
+    import shutil
+
+    from ..index.segments import (
+        build_segments_from_postings,
+        read_postings_relation,
+    )
+
+    gens = list_generations(out_dir)
+    if not gens:
+        return None
+    if len(gens) == 1:
+        return gens[0]
+    union = read_postings_relation(spark, gens[0])
+    for g in gens[1:]:
+        union = union.unionByName(read_postings_relation(spark, g))
+    max_id = max(int(Path(g).name.split("=")[1]) for g in gens)
+    tmp = Path(out_dir) / ".compact-tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    build_segments_from_postings(
+        spark, union, str(tmp), n_buckets=n_buckets,
+        run_id=f"compact-{max_id}",
+    )
+    for g in gens:
+        shutil.rmtree(g)
+    dest = Path(out_dir) / f"gen={max_id}"
+    tmp.rename(dest)
+    return str(dest)
 
 
 def query_generations(

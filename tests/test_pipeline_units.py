@@ -107,3 +107,58 @@ def test_video_frames_shape(spark):
     assert (per["count"] == per["max"] + 1).all()
     assert per["count"].between(1, 7).all()
     assert pdf.frame_hash.is_unique
+
+
+def test_cosine_neardup_lsh_subset_and_recall(spark):
+    """Banded near-dup pairs must be a subset of the exact all-pairs
+    result (same threshold) with usable recall; the all-pairs version is
+    the recall oracle only (the gated query is the banded one)."""
+    sf = "/root/testdata/sf0.001"
+    embs = spark.read.parquet(f"{sf}/embeddings.parquet")
+    brute = {
+        (r.vec_id_a, r.vec_id_b): r.cosine
+        for r in emb.cosine_neardup_pairs(embs).collect()
+    }
+    lsh = {
+        (r.vec_id_a, r.vec_id_b): r.cosine
+        for r in emb.cosine_neardup_lsh_pairs(embs).collect()
+    }
+    assert set(lsh) <= set(brute)
+    for k, v in lsh.items():
+        assert v == brute[k], k  # exact cosine re-check, not an estimate
+    assert len(brute) > 0
+    recall = len(lsh) / len(brute)
+    assert recall > 0.2, f"banded near-dup recall collapsed: {recall:.2f}"
+
+
+def test_fingerprints_plan_is_shuffle_free(spark):
+    """Winnowing is per-document array math — the physical plan must
+    contain no Exchange (the old posexplode+window version shuffled the
+    whole corpus)."""
+    from search_engine_spark.pipeline import textstats
+
+    sf = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    plan = textstats.fingerprints(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+
+
+def test_pipeline_tokenizer_ascii_contract(spark):
+    """The pipeline word tokenizer (common.words_col) is PINNED to ASCII
+    \\w semantics: Spark-Java \\w and DuckDB-RE2 \\w agree with each
+    other (the oracle contract), and both diverge from the engine's
+    Unicode-aware tokenizers in functions/tokenize.py on non-ASCII.
+    This test freezes that decision — if words_col ever goes (?U), the
+    oracle SQL must change in lockstep."""
+    s = "héllo wörld it's 123_x"
+    got = (
+        spark.createDataFrame([(s,)], ["text"])
+        .select(words_col("text").alias("w"))
+        .collect()[0]
+        .w
+    )
+    con = duckdb.connect()
+    (exp,) = con.execute(f"SELECT {sql_words('?')}", [s]).fetchone()
+    assert got == exp
+    # ASCII \w splits at accented letters — the pinned (non-Unicode) behavior
+    assert got == ["h", "llo", "w", "rld", "it", "s", "123_x"]

@@ -151,3 +151,60 @@ def test_stream_ingest_and_serve(spark, tmp_path):
     assert [r.rank for r in polled] == list(range(1, len(polled) + 1))
     missing = poll_result(spark, mailbox, "no-such-query").collect()
     assert missing == []
+
+
+def test_compaction_equals_batch_index(spark, tmp_path):
+    """compact_generations merges N generations into one whose query
+    results (incl. scores) are identical to a single batch-built index
+    over the same docs — global idf/avgdl restored exactly."""
+    from search_engine_spark.index.segments import build_segments, load_stats
+    from search_engine_spark.query.wand import wand_topk
+    from search_engine_spark.streaming.ingest import compact_generations
+
+    rows = corpus.reference_pages_rows()
+    out = tmp_path / "gens"
+
+    def df(rs):
+        return spark.createDataFrame(rs, corpus.PAGES_SCHEMA)
+
+    build_segments(spark, df(rows[:60]), str(out / "gen=0"), n_buckets=2, run_id="g0")
+    build_segments(spark, df(rows[60:]), str(out / "gen=1"), n_buckets=2, run_id="g1")
+    assert len(list_generations(str(out))) == 2
+
+    full = tmp_path / "full"
+    build_segments(spark, df(rows), str(full), n_buckets=4, run_id="full")
+    queries = corpus.reference_queries_df(spark)
+    expected = wand_topk(spark, str(full), queries, k=10).collect()
+
+    dest = compact_generations(spark, str(out), n_buckets=4)
+    gens = list_generations(str(out))
+    assert gens == [dest] and dest.endswith("gen=1")
+    cstats = load_stats(dest)
+    fstats = load_stats(str(full))
+    assert cstats["n_docs"] == fstats["n_docs"] == 100
+    assert abs(cstats["avgdl"] - fstats["avgdl"]) < 1e-9
+
+    got = query_generations(spark, str(out), queries, k=10).collect()
+    exp = {(r.query_id, r.rank): (r.url, r.score) for r in expected}
+    gotk = {(r.query_id, r.rank): (r.url, r.score) for r in got}
+    assert exp == gotk  # exact equality, scores included
+
+
+def test_preview_results(spark):
+    """Result preview: first-5-lines display joined from the corpus
+    (reference Display for QueryResult, src/lib.rs:229-268)."""
+    from search_engine_spark.query.preview import get_document, preview_results
+
+    pages = spark.createDataFrame(
+        [("u1", "l1\nl2\nl3\nl4\nl5\nl6\nl7"), ("u2", "only line")],
+        ["url", "text"],
+    )
+    results = spark.createDataFrame(
+        [("q1", 1, "u1", 2.5), ("q1", 2, "u2", 1.5)],
+        ["query_id", "rank", "url", "score"],
+    )
+    rows = preview_results(results, pages).collect()
+    assert rows[0].preview == "l1\nl2\nl3\nl4\nl5"
+    assert rows[1].preview == "only line"
+    doc = get_document(pages, "u2").collect()
+    assert len(doc) == 1 and doc[0].text == "only line"

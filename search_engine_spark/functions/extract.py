@@ -42,44 +42,137 @@ from pyspark.sql.types import ArrayType, StringType
 
 from .tokenize import doc_tokens_py
 
-# Elements whose text content never becomes body text when they appear in
-# <head>. (In body, script/style text IS included, matching the reference.)
-_HEAD_ONLY = {"title", "base", "link", "meta"}
+# Elements allowed in <head>; any other start tag while in head implies
+# </head> + <body> (WHATWG "in head" anything-else -> "after head" ->
+# "in body"). In body, script/style text IS included, matching the
+# reference's .text() walk.
+_HEAD_ELEMENTS = {
+    "title", "base", "link", "meta", "script", "style", "noscript", "template",
+}
+# Raw/RCDATA head elements: when one appears between </head> and <body>,
+# the spec reprocesses it "using the rules for in head" — its content
+# lands in HEAD, not body (html5ever does exactly this).
+_HEAD_RAW = {"title", "script", "style", "noscript", "template"}
+_WS = " \t\n\f\r"  # WHATWG whitespace
 
 
 class _BodyTextParser(HTMLParser):
-    """Collect text nodes that belong to the (possibly implicit) body."""
+    """Collect text nodes that belong to the (possibly implicit) body,
+    following WHATWG tree construction (what html5ever implements) for
+    the placements that change .text() output:
+
+    - whitespace before <html>/<head> is ignored; whitespace between
+      </head> and <body> goes into the html element — neither is body
+      text ("before html"/"before head"/"after head" whitespace rules);
+    - a non-whitespace character in "after head" creates the body; only
+      the characters FROM the first non-whitespace one land in body;
+    - head-ish elements (script/style/title/...) between </head> and
+      <body> are reprocessed into head — excluded;
+    - non-whitespace text directly inside table context (not in a
+      cell/caption) is FOSTER-PARENTED before the table element, which
+      reorders it ahead of the table's cell text in .text() order;
+      whitespace-only table text stays put ("in table text" rules);
+    - text after </body> / </html> is reparented into body — included.
+
+    Adversarial placements are pinned by goldens in
+    tests/test_extract.py (derived from the WHATWG algorithm; the
+    sandbox cannot build the reference's html5ever to probe directly —
+    no network for cargo — so the spec html5ever implements is the
+    authority used).
+    """
 
     def __init__(self) -> None:
         super().__init__(convert_charrefs=True)
         self.parts: list[str] = []
         self._in_head = False
-        self._saw_body = False
-        self._head_closed = False
+        self._body_started = False
+        self._suppress_raw: str | None = None  # head-ish elt before body
+        # open tables: [foster_insert_idx | None] — None marks "in cell"
+        self._table_stack: list[list] = []
+
+    # -- helpers -----------------------------------------------------------
+
+    def _start_body(self) -> None:
+        self._body_started = True
+        self._in_head = False
+
+    def _in_table_context(self) -> bool:
+        return bool(self._table_stack) and self._table_stack[-1][0] == "table"
+
+    # -- HTMLParser hooks --------------------------------------------------
 
     def handle_starttag(self, tag, attrs):
+        if self._suppress_raw is not None:
+            return
+        if tag == "html":
+            return
         if tag == "head":
             self._in_head = True
-        elif tag == "body":
-            self._saw_body = True
-            self._in_head = False
-        elif self._in_head and tag not in _HEAD_ONLY and tag not in (
-            "script",
-            "style",
-            "noscript",
-            "template",
-        ):
-            # A non-head element implicitly closes head (WHATWG "after head").
-            self._in_head = False
+            return
+        if tag == "body":
+            self._start_body()
+            return
+        if self._in_head:
+            if tag not in _HEAD_ELEMENTS:
+                # non-head element implies </head><body> ("after head")
+                self._start_body()
+            else:
+                return
+        elif not self._body_started:
+            if tag in _HEAD_ELEMENTS:
+                # reprocessed into head ("after head" head-element rule)
+                if tag in _HEAD_RAW:
+                    self._suppress_raw = tag
+                return
+            self._start_body()
+        # table bookkeeping (affects text ORDER via foster parenting)
+        if tag == "table":
+            self._table_stack.append(["table", len(self.parts)])
+        elif tag in ("td", "th", "caption"):
+            if self._table_stack:
+                if self._table_stack[-1][0] == "cell":
+                    self._table_stack.pop()  # implied </td>
+                self._table_stack.append(["cell", None])
+        elif tag == "tr" and self._table_stack:
+            if self._table_stack[-1][0] == "cell":
+                self._table_stack.pop()  # implied cell close at new row
 
     def handle_endtag(self, tag):
+        if self._suppress_raw is not None:
+            if tag == self._suppress_raw:
+                self._suppress_raw = None
+            return
         if tag == "head":
             self._in_head = False
-            self._head_closed = True
-        # Text after </body> is reparented into body by spec; keep collecting.
+        elif tag == "table":
+            while self._table_stack:
+                kind = self._table_stack.pop()[0]
+                if kind == "table":
+                    break
+        elif tag in ("td", "th", "caption"):
+            if self._table_stack and self._table_stack[-1][0] == "cell":
+                self._table_stack.pop()
+        # Text after </body>/</html> is reparented into body; keep collecting.
 
     def handle_data(self, data):
-        if self._in_head:
+        if self._suppress_raw is not None or self._in_head:
+            return
+        if not self._body_started:
+            stripped = data.lstrip(_WS)
+            if not stripped:
+                # pure whitespace before body -> html element / ignored
+                return
+            # only the chars from the first non-ws one enter the body
+            data = stripped
+            self._start_body()
+        if self._in_table_context() and data.strip(_WS):
+            # foster-parent: non-ws table text is inserted BEFORE the table
+            entry = self._table_stack[-1]
+            pos = entry[1]
+            self.parts.insert(pos, data)
+            for e in self._table_stack:
+                if e[0] == "table" and e[1] >= pos:
+                    e[1] += 1
             return
         self.parts.append(data)
 

@@ -123,11 +123,186 @@ class EncodedPostings:
         self.blockmeta = blockmeta
 
 
+def _gather_ranges(src: np.ndarray, starts: np.ndarray, lens: np.ndarray) -> np.ndarray:
+    """Concatenate src[starts[i] : starts[i]+lens[i]] — vectorized."""
+    total = int(lens.sum())
+    if total == 0:
+        return np.empty(0, dtype=src.dtype)
+    rep_starts = np.repeat(starts, lens)
+    within = np.arange(total, dtype=np.int64) - np.repeat(
+        np.cumsum(lens) - lens, lens
+    )
+    return src[rep_starts + within]
+
+
+def _pfor_stream(
+    vals: np.ndarray,
+    bstarts: np.ndarray,
+    bends: np.ndarray,
+    varint_buf: np.ndarray,
+    vcum: np.ndarray,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Per-block cheapest-codec transform of one value stream.
+
+    For every block (value slice [bstarts_i, bends_i)) pick the cheaper
+    of (a) its LEB128 varint chunk (already encoded: ``varint_buf`` with
+    per-value byte offsets ``vcum``), (b) frame-of-reference bit packing
+    at the block's max bit width, (c) PFor: packing at the 7/8-quantile
+    width with varint-patched exceptions. Candidates (b)/(c) use the
+    self-describing block layout of :func:`pfor_encode_block`. Entirely
+    vectorized: histograms, width choice, bit packing (one global
+    np.packbits) and exception varints each run once over the whole
+    batch.
+
+    Returns (stream uint8 array, per-block chunk lengths, codec flags).
+    """
+    n_blocks = len(bstarts)
+    counts = (bends - bstarts).astype(np.int64)
+    v = np.ascontiguousarray(vals, dtype=np.uint64)
+    bl = bit_lengths(v)
+    block_of = np.repeat(np.arange(n_blocks, dtype=np.int64), counts)
+    pos_in_block = np.arange(len(v), dtype=np.int64) - np.repeat(bstarts, counts)
+
+    varint_len = (vcum[bends] - vcum[bstarts]).astype(np.int64)
+    w_max = np.maximum.reduceat(bl, bstarts).astype(np.int64)
+    size_full = PFOR_HEADER + (counts * w_max + 7) // 8
+
+    # 7/8-quantile width via per-block bit-length histogram.
+    BLCAP = 48
+    blc = np.minimum(bl, BLCAP).astype(np.int64)
+    H = np.bincount(
+        block_of * (BLCAP + 1) + blc, minlength=n_blocks * (BLCAP + 1)
+    ).reshape(n_blocks, BLCAP + 1)
+    cum = np.cumsum(H, axis=1)
+    thresh = (counts * 7 + 7) // 8
+    w_sub = np.argmax(cum >= thresh[:, None], axis=1).astype(np.int64)
+    # exception cost at w_sub, exact, per value
+    wsub_v = w_sub[block_of]
+    exc_mask = bl > wsub_v
+    idx_len = np.where(pos_in_block < 128, 1, np.where(pos_in_block < 16384, 2, 3))
+    high_len = (bl.astype(np.int64) - wsub_v + 6) // 7
+    cost_v = np.where(exc_mask, idx_len + np.maximum(high_len, 1), 0)
+    exc_bytes = np.add.reduceat(cost_v, bstarts).astype(np.int64)
+    n_exc = np.add.reduceat(exc_mask.astype(np.int64), bstarts)
+    size_sub = PFOR_HEADER + (counts * w_sub + 7) // 8 + exc_bytes
+    size_sub = np.where(n_exc <= 255, size_sub, np.iinfo(np.int64).max)
+    # w_max capped at 255 (u8 header); values wider than that stay varint
+    size_full = np.where(w_max <= 255, size_full, np.iinfo(np.int64).max)
+
+    pick_sub = size_sub < size_full
+    pf_w = np.where(pick_sub, w_sub, w_max)
+    pf_nexc = np.where(pick_sub, n_exc, 0)
+    pf_size = np.minimum(size_sub, size_full)
+    use_pfor = pf_size < varint_len
+    flags = use_pfor.astype(np.uint8)
+    chunk_len = np.where(use_pfor, pf_size, varint_len).astype(np.int64)
+
+    # ---- build the pfor chunks (only for chosen blocks), in block order
+    pf_idx = np.flatnonzero(use_pfor)
+    pfor_buf = np.empty(0, dtype=np.uint8)
+    pf_chunk_off = np.zeros(n_blocks + 1, dtype=np.int64)
+    if len(pf_idx):
+        sel_v = use_pfor[block_of]
+        w_v = pf_w[block_of]
+        exc_sel = sel_v & (bl > w_v)
+        # exceptions: interleaved (pos, high) varints, global
+        exc_bytes_arr = np.empty(0, dtype=np.uint8)
+        exc_len_per_block = np.zeros(n_blocks, dtype=np.int64)
+        if exc_sel.any():
+            e_idx = np.flatnonzero(exc_sel)
+            inter = np.empty(2 * len(e_idx), dtype=np.uint64)
+            inter[0::2] = pos_in_block[e_idx].astype(np.uint64)
+            inter[1::2] = v[e_idx] >> w_v[e_idx].astype(np.uint64)
+            exc_b, exc_lens = varint_encode_with_lens(inter)
+            exc_bytes_arr = np.frombuffer(exc_b, dtype=np.uint8)
+            pair_len = exc_lens[0::2] + exc_lens[1::2]
+            exc_len_per_block = np.bincount(
+                block_of[e_idx], weights=pair_len, minlength=n_blocks
+            ).astype(np.int64)
+        # packed low bits: per selected block, byte-aligned
+        packed_len = np.where(use_pfor, (counts * pf_w + 7) // 8, 0)
+        packed_off = np.zeros(n_blocks + 1, dtype=np.int64)
+        np.cumsum(packed_len, out=packed_off[1:])
+        total_bits = int(packed_off[-1]) * 8
+        target = np.zeros(total_bits, dtype=np.uint8)
+        w_shift = np.minimum(w_v, 63).astype(np.uint64)
+        mask64 = np.where(
+            w_v >= 64,
+            np.uint64(0xFFFFFFFFFFFFFFFF),
+            (np.uint64(1) << w_shift) - np.uint64(1),
+        )
+        low = v & mask64
+        base_bits = packed_off[block_of] * 8 + pos_in_block * w_v
+        max_w = int(pf_w[pf_idx].max()) if len(pf_idx) else 0
+        for j in range(max_w):
+            m = sel_v & (w_v > j)
+            if not m.any():
+                continue
+            bitset = ((low[m] >> np.uint64(j)) & np.uint64(1)).astype(bool)
+            pos = base_bits[m][bitset] + j
+            target[pos] = 1
+        packed_all = np.packbits(target, bitorder="little")
+        # headers
+        hdr = np.zeros((n_blocks, PFOR_HEADER), dtype=np.uint8)
+        hdr[:, 0] = pf_w.astype(np.uint8)
+        hdr[:, 1] = pf_nexc.astype(np.uint8)
+        hdr[:, 2] = (counts & 0xFF).astype(np.uint8)
+        hdr[:, 3] = ((counts >> 8) & 0xFF).astype(np.uint8)
+        # assemble chunks contiguously in block order
+        exc_off = np.zeros(n_blocks + 1, dtype=np.int64)
+        np.cumsum(exc_len_per_block, out=exc_off[1:])
+        pf_chunk_len = np.where(use_pfor, chunk_len, 0)
+        np.cumsum(pf_chunk_len, out=pf_chunk_off[1:])
+        pfor_buf = np.empty(int(pf_chunk_off[-1]), dtype=np.uint8)
+        # scatter headers
+        hdr_dst = _range_indices(pf_chunk_off[pf_idx], np.full(len(pf_idx), PFOR_HEADER, dtype=np.int64))
+        pfor_buf[hdr_dst] = hdr[pf_idx].ravel()
+        # scatter packed
+        pk_lens = packed_len[pf_idx]
+        pk_dst = _range_indices(pf_chunk_off[pf_idx] + PFOR_HEADER, pk_lens)
+        pfor_buf[pk_dst] = _gather_ranges(packed_all, packed_off[pf_idx], pk_lens)
+        # scatter exceptions
+        ex_lens = exc_len_per_block[pf_idx]
+        ex_dst = _range_indices(
+            pf_chunk_off[pf_idx] + PFOR_HEADER + pk_lens, ex_lens
+        )
+        pfor_buf[ex_dst] = _gather_ranges(exc_bytes_arr, exc_off[pf_idx], ex_lens)
+
+    # ---- final stream: per block, varint slice or pfor chunk
+    out_off = np.zeros(n_blocks + 1, dtype=np.int64)
+    np.cumsum(chunk_len, out=out_off[1:])
+    out = np.empty(int(out_off[-1]), dtype=np.uint8)
+    vi = np.flatnonzero(~use_pfor)
+    if len(vi):
+        dst = _range_indices(out_off[vi], varint_len[vi])
+        out[dst] = _gather_ranges(
+            varint_buf, vcum[bstarts[vi]].astype(np.int64), varint_len[vi]
+        )
+    if len(pf_idx):
+        dst = _range_indices(out_off[pf_idx], chunk_len[pf_idx])
+        out[dst] = _gather_ranges(
+            pfor_buf, pf_chunk_off[pf_idx], chunk_len[pf_idx]
+        )
+    return out, chunk_len, flags
+
+
+def _range_indices(starts: np.ndarray, lens: np.ndarray) -> np.ndarray:
+    """Index array covering [starts[i], starts[i]+lens[i]) runs."""
+    total = int(lens.sum())
+    if total == 0:
+        return np.empty(0, dtype=np.int64)
+    return np.repeat(starts, lens) + (
+        np.arange(total, dtype=np.int64)
+        - np.repeat(np.cumsum(lens) - lens, lens)
+    )
+
+
 def encode_postings(
     docids: np.ndarray,
     tfs: np.ndarray,
     dls: np.ndarray,
     block_size: int = BLOCK_SIZE,
+    pfor: bool = False,
 ) -> EncodedPostings:
     """Encode one term's postings (docid-sorted) into the segment layout.
 
@@ -144,6 +319,11 @@ def encode_postings(
         raise ValueError("empty posting list")
     if n > 1 and not (np.diff(docids) > 0).all():
         raise ValueError("docids must be strictly increasing")
+    if pfor:
+        return encode_postings_batch(
+            docids, tfs, dls, np.array([0]), np.array([n]),
+            block_size=block_size, pfor=True,
+        )[0]
 
     n_blocks = (n + block_size - 1) // block_size
     bounds = np.minimum(np.arange(1, n_blocks + 1) * block_size, n)
@@ -188,6 +368,7 @@ def encode_postings_batch(
     starts: np.ndarray,
     ends: np.ndarray,
     block_size: int = BLOCK_SIZE,
+    pfor: bool = False,
 ) -> list[EncodedPostings]:
     """Encode MANY terms' postings in one vectorized pass.
 
@@ -241,6 +422,30 @@ def encode_postings_batch(
     bterm_cum = np.zeros(n_terms + 1, dtype=np.int64)
     np.cumsum(nblocks_per_term, out=bterm_cum[1:])
 
+    # Per-block chunk streams: varint slices by default; with pfor=True,
+    # each block independently switches to packed/PFor when cheaper.
+    if pfor:
+        d_stream, d_len_b, d_flags = _pfor_stream(
+            gaps, bstarts, bends,
+            np.frombuffer(docid_bytes, dtype=np.uint8), dcum,
+        )
+        t_stream, t_len_b, t_flags = _pfor_stream(
+            tfs_a, bstarts, bends,
+            np.frombuffer(tf_bytes, dtype=np.uint8), tcum,
+        )
+    else:
+        d_stream = np.frombuffer(docid_bytes, dtype=np.uint8)
+        t_stream = np.frombuffer(tf_bytes, dtype=np.uint8)
+        d_len_b = (dcum[bends] - dcum[bstarts]).astype(np.int64)
+        t_len_b = (tcum[bends] - tcum[bstarts]).astype(np.int64)
+        d_flags = np.zeros(len(bstarts), dtype=np.uint8)
+        t_flags = np.zeros(len(bstarts), dtype=np.uint8)
+    n_blocks_total = len(bstarts)
+    d_boff = np.zeros(n_blocks_total + 1, dtype=np.int64)
+    np.cumsum(d_len_b, out=d_boff[1:])
+    t_boff = np.zeros(n_blocks_total + 1, dtype=np.int64)
+    np.cumsum(t_len_b, out=t_boff[1:])
+
     # Single-block fast path: in a Zipf-tail corpus the vast majority of
     # terms have df <= block_size (one block), whose 42-byte blockmeta is
     # a fixed-width record — build them ALL in one structured-array write
@@ -258,45 +463,43 @@ def encode_postings_batch(
     single_pos = np.cumsum(is_single) - 1  # index into the packed records
     if is_single.any():
         si = np.flatnonzero(is_single)
+        sb = bterm_cum[si]  # each single term's global block index
         rec = np.zeros(len(si), dtype=single_dt)
         rec["nb"] = 1
         rec["bs"] = block_size
         rec["last"] = doc_idx[ends[si] - 1]
-        rec["mtf"] = max_tfs[bterm_cum[si]]
-        rec["mdl"] = min_dls[bterm_cum[si]]
-        rec["d1"] = dcum[ends[si]] - dcum[starts[si]]
-        rec["t1"] = tcum[ends[si]] - tcum[starts[si]]
+        rec["mtf"] = max_tfs[sb]
+        rec["mdl"] = min_dls[sb]
+        rec["dc"] = d_flags[sb]
+        rec["tc"] = t_flags[sb]
+        rec["d1"] = d_len_b[sb]
+        rec["t1"] = t_len_b[sb]
         single_meta_buf = rec.tobytes()
 
     out: list[EncodedPostings] = []
     for t in range(n_terms):
-        s, e = starts[t], ends[t]
+        bs, be = bterm_cum[t], bterm_cum[t + 1]
         if is_single[t]:
             p = int(single_pos[t]) * 42
             blockmeta = single_meta_buf[p : p + 42]
         else:
-            bs, be = bterm_cum[t], bterm_cum[t + 1]
             nb = be - bs
-            # Per-block byte offsets, relative to this term's streams.
-            block_pos = bstarts[bs:be]
-            docid_offs = np.empty(nb + 1, dtype=np.uint32)
-            docid_offs[:-1] = dcum[block_pos] - dcum[s]
-            docid_offs[-1] = dcum[e] - dcum[s]
-            tf_offs = np.empty(nb + 1, dtype=np.uint32)
-            tf_offs[:-1] = tcum[block_pos] - tcum[s]
-            tf_offs[-1] = tcum[e] - tcum[s]
+            docid_offs = (d_boff[bs : be + 1] - d_boff[bs]).astype(np.uint32)
+            tf_offs = (t_boff[bs : be + 1] - t_boff[bs]).astype(np.uint32)
             header = np.array([nb, block_size], dtype=np.uint32)
             blockmeta = (
                 header.tobytes()
                 + last_docids[bs:be].tobytes()
                 + max_tfs[bs:be].tobytes()
                 + min_dls[bs:be].tobytes()
-                + np.zeros(2 * nb, dtype=np.uint8).tobytes()
+                + d_flags[bs:be].tobytes()
+                + t_flags[bs:be].tobytes()
                 + docid_offs.tobytes()
                 + tf_offs.tobytes()
             )
         postings = (
-            docid_bytes[dcum[s] : dcum[e]] + tf_bytes[tcum[s] : tcum[e]]
+            d_stream[d_boff[bs] : d_boff[be]].tobytes()
+            + t_stream[t_boff[bs] : t_boff[be]].tobytes()
         )
         out.append(EncodedPostings(postings, blockmeta))
     return out
@@ -345,7 +548,7 @@ class BlockMeta:
         )
 
 
-def _decode_stream(mv, offs, codec, counts) -> np.ndarray:
+def _decode_stream(mv, offs, codec) -> np.ndarray:
     """Decode one stream (all blocks) honoring per-block codec flags."""
     if not codec.any():
         return varint_decode(mv[: int(offs[-1])])
@@ -355,7 +558,7 @@ def _decode_stream(mv, offs, codec, counts) -> np.ndarray:
         if codec[bi] == 0:
             parts.append(varint_decode(chunk))
         else:
-            parts.append(pfor_decode_block(chunk, int(counts[bi])))
+            parts.append(pfor_decode_block(chunk))
     return np.concatenate(parts) if parts else np.empty(0, dtype=np.uint64)
 
 
@@ -366,44 +569,24 @@ def decode_postings(
     meta = blockmeta if isinstance(blockmeta, BlockMeta) else BlockMeta(blockmeta)
     mv = memoryview(postings)
     docid_bytes_len = int(meta.docid_offs[-1])
-    counts = None
-    if meta.docid_codec.any() or meta.tf_codec.any():
-        counts = _block_counts(meta, None)
-    gaps = _decode_stream(mv[:docid_bytes_len], meta.docid_offs, meta.docid_codec, counts)
-    tfs = _decode_stream(mv[docid_bytes_len:], meta.tf_offs, meta.tf_codec, counts)
+    gaps = _decode_stream(mv[:docid_bytes_len], meta.docid_offs, meta.docid_codec)
+    tfs = _decode_stream(mv[docid_bytes_len:], meta.tf_offs, meta.tf_codec)
     return delta_decode(gaps), tfs
 
 
-def _block_counts(meta: BlockMeta, df: "int | None") -> np.ndarray:
-    """Postings per block; the last block is the only short one.
-
-    ``df`` may be None: the tail-block length is then recovered from the
-    varint stream itself only when needed; callers that know df pass it.
-    """
-    counts = np.full(meta.n_blocks, meta.block_size, dtype=np.int64)
-    if df is not None:
-        counts[-1] = df - meta.block_size * (meta.n_blocks - 1)
-    else:
-        # Tail count from the tail block's own encoding is only required
-        # for PFor tails; the encoder always leaves the tail block varint
-        # when its length is unknown-at-decode, so block_size is safe here.
-        counts[-1] = meta.block_size
-    return counts
-
-
 def decode_blocks(
-    postings: bytes, meta: BlockMeta, block_idx: np.ndarray, df: "int | None" = None
+    postings: bytes, meta: BlockMeta, block_idx: np.ndarray
 ) -> tuple[np.ndarray, np.ndarray]:
     """Decode only the selected blocks (sorted unique indices).
 
     Returns (docids, tfs) for the postings in those blocks. Each block's
     delta chain is anchored by the previous block's last_docid from the
-    metadata, so no other bytes are touched.
+    metadata, so no other bytes are touched; PFor blocks are
+    self-describing (header carries n).
     """
     mv = memoryview(postings)
     docid_base = 0
     tf_base = int(meta.docid_offs[-1])
-    counts = _block_counts(meta, df)
     docid_parts = []
     tf_parts = []
     for bi in np.asarray(block_idx, dtype=np.int64):
@@ -413,7 +596,7 @@ def decode_blocks(
         if meta.docid_codec[bi] == 0:
             gaps = varint_decode(dchunk)
         else:
-            gaps = pfor_decode_block(dchunk, int(counts[bi]))
+            gaps = pfor_decode_block(dchunk)
         anchor = -1 if bi == 0 else int(meta.last_docids[bi - 1])
         # Uniform anchor math: block 0's first gap is docid0 + 1 and the
         # anchor is -1, so ids = anchor + cumsum(gaps) holds for every block.
@@ -423,30 +606,107 @@ def decode_blocks(
         if meta.tf_codec[bi] == 0:
             tf_parts.append(varint_decode(tchunk))
         else:
-            tf_parts.append(pfor_decode_block(tchunk, len(gaps)))
+            tf_parts.append(pfor_decode_block(tchunk))
     if not docid_parts:
         return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.uint64)
     return np.concatenate(docid_parts), np.concatenate(tf_parts)
 
 
-def pfor_decode_block(data: "bytes | memoryview", n: int) -> np.ndarray:
-    """Decode one PForDelta block: [u8 width][u8 n_exc][packed][exc varints].
+PFOR_HEADER = 4  # u8 width, u8 n_exceptions, u16 n_values
 
-    Exceptions are (position, high_bits) varint pairs; the decoded value
-    is ``low_bits | high_bits << width``.
+
+def bit_lengths(v: np.ndarray) -> np.ndarray:
+    """Per-value bit length (0 for 0), vectorized (6 masked passes)."""
+    v = np.asarray(v, dtype=np.uint64)
+    bl = np.zeros(len(v), dtype=np.uint8)
+    tmp = v.copy()
+    for s in (32, 16, 8, 4, 2, 1):
+        m = tmp >= (np.uint64(1) << np.uint64(s))
+        bl[m] += s
+        tmp[m] >>= np.uint64(s)
+    bl += (tmp > 0).astype(np.uint8)
+    return bl
+
+
+def pfor_encode_block(vals: np.ndarray) -> bytes:
+    """Encode one block as PForDelta: patched frame-of-reference.
+
+    Layout: [u8 width][u8 n_exc][u16 n][bitpacked low bits, byte-aligned]
+    [exceptions: varint (position, high_bits) pairs]. The width is
+    chosen by exact cost minimization over all candidate widths (the
+    per-block "cheapest" rule; exceptions patch values wider than the
+    frame). Single-block reference encoder — the batch path in
+    :func:`encode_postings_batch` produces byte-identical blocks
+    (property-tested).
     """
+    v = np.ascontiguousarray(vals, dtype=np.uint64)
+    n = len(v)
+    if n == 0 or n > 0xFFFF:
+        raise ValueError("pfor block size out of range")
+    bl = bit_lengths(v)
+    max_bl = int(bl.max()) if n else 0
+    best_w, best_cost = max_bl, None
+    for w in range(0, max_bl + 1):
+        exc_mask = bl > w
+        n_exc = int(exc_mask.sum())
+        if n_exc > 255:
+            continue
+        exc_cost = 0
+        if n_exc:
+            highs = v[exc_mask] >> np.uint64(w)
+            exc_cost = n_exc + int(
+                np.sum((bit_lengths(highs).astype(np.int64) + 6) // 7)
+            )
+        cost = PFOR_HEADER + (n * w + 7) // 8 + exc_cost
+        if best_cost is None or cost < best_cost:
+            best_cost, best_w = cost, w
+    w = best_w
+    exc_mask = bl > w
+    n_exc = int(exc_mask.sum())
+    header = np.zeros(PFOR_HEADER, dtype=np.uint8)
+    header[0] = w
+    header[1] = n_exc
+    header[2:4] = np.frombuffer(
+        np.uint16(n).tobytes(), dtype=np.uint8
+    )
+    low = v & ((np.uint64(1) << np.uint64(w)) - np.uint64(1)) if w else v * 0
+    if w:
+        bits = ((low[:, None] >> np.arange(w, dtype=np.uint64)) & 1).astype(
+            np.uint8
+        )
+        packed = np.packbits(bits.ravel(), bitorder="little").tobytes()
+        packed = packed[: (n * w + 7) // 8]
+    else:
+        packed = b""
+    exc = b""
+    if n_exc:
+        idx = np.flatnonzero(exc_mask).astype(np.uint64)
+        high = v[exc_mask] >> np.uint64(w)
+        inter = np.empty(2 * n_exc, dtype=np.uint64)
+        inter[0::2] = idx
+        inter[1::2] = high
+        exc = varint_encode(inter)
+    return header.tobytes() + packed + exc
+
+
+def pfor_decode_block(data: "bytes | memoryview", n: int | None = None) -> np.ndarray:
+    """Decode one PForDelta block (self-describing header carries n)."""
     a = np.frombuffer(data, dtype=np.uint8)
     w = int(a[0])
     n_exc = int(a[1])
+    n_hdr = int(a[2]) | (int(a[3]) << 8)
+    n = n_hdr
     packed_len = (n * w + 7) // 8
     if w == 0:
         vals = np.zeros(n, dtype=np.uint64)
     else:
-        bits = np.unpackbits(a[2 : 2 + packed_len], bitorder="little")[: n * w]
-        weights = (np.uint64(1) << np.arange(w, dtype=np.uint64))
+        bits = np.unpackbits(
+            a[PFOR_HEADER : PFOR_HEADER + packed_len], bitorder="little"
+        )[: n * w]
+        weights = np.uint64(1) << np.arange(w, dtype=np.uint64)
         vals = bits.reshape(n, w).astype(np.uint64) @ weights
     if n_exc:
-        exc = varint_decode(a[2 + packed_len :].tobytes())
+        exc = varint_decode(a[PFOR_HEADER + packed_len :].tobytes())
         idx = exc[0::2].astype(np.int64)
         high = exc[1::2]
         vals[idx] |= high << np.uint64(w)

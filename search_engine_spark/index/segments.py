@@ -147,11 +147,20 @@ def build_segments(
     b: float = BM25_B,
     exact_unicode: bool = False,
     fail_after_buckets: int | None = None,
+    pfor: bool = False,
 ) -> dict:
     """Build (or resume) the compressed segment index for ``pages``.
 
     ``fail_after_buckets`` injects a crash after committing that many
     buckets — used by the resume test only.
+
+    ``pfor=True`` lets every block choose the cheaper of varint and
+    patched frame-of-reference (PForDelta) encoding — measured ~20-35%
+    smaller postings at ~1.5-4x slower encode (bench'd in BASELINE.md);
+    serving decodes both transparently. Default off: the headline
+    metric is build docs/sec and the tokenizer-dominant build keeps the
+    faster encoder; flip it when segment storage/scan bytes matter more
+    than one-time encode cost (usually true at 100 TB).
 
     Returns a summary dict (buckets built, docs, elapsed).
     """
@@ -189,9 +198,11 @@ def build_segments(
         "k1": k1,
         "b": b,
         "codec": CODEC_VERSION,
+        "pfor": pfor,
     }
     if layout_path.exists():
         prev = json.loads(layout_path.read_text())
+        prev.setdefault("pfor", False)  # records from before the option
         if prev != layout:
             raise ValueError(
                 f"index layout mismatch under {out_dir}: recorded {prev}, "
@@ -211,7 +222,7 @@ def build_segments(
         todo = todo[:fail_after_buckets]
     if todo:
         with _phase("build_buckets"):
-            _build_buckets(spark, part, out, todo, run_id)
+            _build_buckets(spark, part, out, todo, run_id, pfor)
 
     complete = len(_committed_buckets(spark, out)) == n_buckets
     n_docs = avgdl = None
@@ -294,7 +305,7 @@ def _arrow_tokens(text_array):
     return flat, doc_of, dl
 
 
-def _build_buckets(spark, part, out: Path, todo, run_id) -> None:
+def _build_buckets(spark, part, out: Path, todo, run_id, pfor=False) -> None:
     """The single corpus pass — ZERO-SHUFFLE fused map-side indexing.
 
     Each partition (= bucket) of ``part`` flows through ONE mapInArrow
@@ -389,7 +400,9 @@ def _build_buckets(spark, part, out: Path, todo, run_id) -> None:
         )
         bounds = np.concatenate((t_change, [len(p_codes)]))
         starts, ends = bounds[:-1], bounds[1:]
-        encoded = encode_postings_batch(p_docs, p_tfs, dl[p_docs], starts, ends)
+        encoded = encode_postings_batch(
+            p_docs, p_tfs, dl[p_docs], starts, ends, pfor=pfor
+        )
         # Term strings via Arrow take (no Python string materialization);
         # hash60 per DISTINCT term only (vocabulary-sized) — identical to
         # int(md5[:15], 16) everywhere else in the engine.

@@ -93,3 +93,24 @@ def test_batch_equals_single_property(term_specs):
         enc_s = encode_postings(ids, tfs, dls)
         assert enc_b.postings == enc_s.postings
         assert enc_b.blockmeta == enc_s.blockmeta
+
+
+@settings(max_examples=100, deadline=None)
+@given(gaps_lists, st.integers(min_value=0, max_value=10_000))
+def test_pfor_roundtrip_property(gaps, seed):
+    """pfor=True postings decode to exactly the inputs for adversarial
+    gap/tf distributions, and are never larger than necessary vs varint
+    (per-block cheapest rule => postings bytes <= varint postings)."""
+    from search_engine_spark.index.codec import encode_postings
+
+    docids = np.cumsum(np.array(gaps, dtype=np.int64)) - 1
+    n = len(docids)
+    rng = np.random.default_rng(seed)
+    tfs = np.minimum(rng.geometric(0.5, size=n), 10_000).astype(np.uint64)
+    dls = rng.integers(1, 1000, size=n)
+    plain = encode_postings(docids, tfs, dls)
+    pf = encode_postings(docids, tfs, dls, pfor=True)
+    got_ids, got_tfs = decode_postings(pf.postings, pf.blockmeta)
+    assert got_ids.tolist() == docids.tolist()
+    assert got_tfs.tolist() == tfs.tolist()
+    assert len(pf.postings) <= len(plain.postings)

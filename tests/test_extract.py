@@ -60,6 +60,88 @@ HTML_CASES = [
         "<body>\n  <p>a</p>\n  <p>b</p>\n</body>",
         "\n   a \n   b \n",
     ),
+    # --- adversarial goldens, WHATWG tree-construction derived (the
+    # algorithm html5ever implements; see _BodyTextParser docstring) ---
+    (
+        "ws_before_html_ignored",
+        "\n  <html><body>x</body></html>",
+        "x",
+    ),
+    (
+        "ws_between_head_and_body_not_body",
+        "<html><head><title>t</title></head>\n  <body>x</body></html>",
+        "x",
+    ),
+    (
+        "implicit_body_strips_leading_ws_of_trigger_text",
+        "<html><head></head>\n\nreal text</html>",
+        "real text",
+    ),
+    (
+        "script_after_head_goes_to_head",
+        "<html><head></head><script>var a=1;</script><body>x</body></html>",
+        "x",
+    ),
+    (
+        "style_after_head_goes_to_head",
+        "<head></head><style>.c{}</style><body>x</body>",
+        "x",
+    ),
+    (
+        "title_after_head_goes_to_head",
+        "<head></head><title>T</title><body>x</body>",
+        "x",
+    ),
+    (
+        "div_after_head_starts_body_then_ws_kept",
+        "<head></head><div>x</div>\n",
+        "x \n",
+    ),
+    (
+        "table_foster_parenting_reorders_text",
+        "<body>pre<table>mid<tr><td>c</td></tr></table>post</body>",
+        "pre mid c post",
+    ),
+    (
+        "table_stray_after_rows_fostered",
+        "<body><table><tr><td>cell</td></tr>stray</table>tail</body>",
+        "stray cell tail",
+    ),
+    (
+        "table_ws_stays_in_place",
+        "<body><table><tr><td>a</td></tr>\n</table></body>",
+        "a \n",
+    ),
+    (
+        "misnested_formatting_flat_order",
+        "<body><b>a<i>b</b>c</i>d</body>",
+        "a b c d",
+    ),
+    (
+        "numeric_charrefs",
+        "<body>&#65;&#x42;c</body>",
+        "ABc",
+    ),
+    (
+        "legacy_entity_without_semicolon",
+        "<body>&copy 2024</body>",
+        "© 2024",
+    ),
+    (
+        "unknown_entity_kept_literal",
+        "<body>&nosuchentity; here</body>",
+        "&nosuchentity; here",
+    ),
+    (
+        "entities_in_script_not_decoded",
+        "<body><script>a &amp; b</script></body>",
+        "a &amp; b",
+    ),
+    (
+        "text_after_html_close_reparented",
+        "<html><body>in</body></html>tail",
+        "in tail",
+    ),
 ]
 
 

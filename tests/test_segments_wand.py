@@ -174,3 +174,33 @@ def test_maxscore_kernel_vs_bruteforce():
         nz = [i for i in order if brute[i] > 0][:k]
         expected = [(int(i), float(scores[i])) for i in nz]
         assert got == expected, k
+
+
+def test_pfor_build_same_results_smaller_index(spark, tmp_path, index_dir):
+    """A pfor build serves identical results to the varint build and
+    produces smaller postings (per-block cheapest codec)."""
+    import pyspark.sql.functions as SF
+
+    from search_engine_spark.index.segments import read_metrics
+    from search_engine_spark.query.wand import wand_topk as wt
+
+    pages = corpus.reference_pages(spark)
+    d = tmp_path / "pfor-idx"
+    build_segments(
+        spark, pages, str(d), n_buckets=N_BUCKETS, run_id="pfor", pfor=True
+    )
+    queries = corpus.reference_queries_df(spark)
+    base = wt(spark, index_dir, queries).collect()
+    got = wt(spark, str(d), queries).collect()
+    k = lambda rows: {(r.query_id, r.rank): (r.url, r.score) for r in rows}
+    assert k(base) == k(got)
+
+    def seg_bytes(path):
+        return (
+            read_segments(spark, str(path))
+            .agg(SF.sum(SF.length("postings")).alias("pb"))
+            .collect()[0]
+            .pb
+        )
+
+    assert seg_bytes(d) < seg_bytes(index_dir)

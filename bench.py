@@ -74,6 +74,11 @@ def make_spark(
         .config("spark.driver.extraJavaOptions", jvm_opts)
         .config("spark.ui.enabled", "false")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Keep Python workers alive across jobs: a reaped worker would
+        # pay its (host-slow, serialized) first-touch page faults again
+        # INSIDE a timed job — the single largest variance source here.
+        .config("spark.python.worker.reuse", "true")
+        .config("spark.python.worker.idleTimeout", "0")
         .config("spark.local.dir", os.environ.get("SPARK_LOCAL_DIRS", "/tmp"))
         # v2 commit: per-task direct rename instead of a serial driver-side
         # job-commit pass — the segment write commits hundreds of bucket
@@ -237,21 +242,35 @@ def scaling_worker(cores: int, start: int, n_pages: int, out_dir: str, seed: int
     from search_engine_spark.index.segments import build_segments
 
     shutil.rmtree(out_dir, ignore_errors=True)
-    # Cache key includes the slice: reruns at a different size/offset/seed
-    # must not silently reuse another corpus.
-    pages_path = f"{out_dir}-pages-s{seed}-o{start}-n{n_pages}"
+    # Fixed-size buckets: ~15k docs per input partition, independent of
+    # the worker's core count. In map-side mode the input partition IS
+    # the work unit — fixed-size units keep per-task memory footprints
+    # (and therefore the Python workers' first-touch arena growth, the
+    # dominant cold cost on this host) identical across parallelism
+    # levels and corpus sizes, and give every core many waves. The
+    # partition count is part of the cache key: a corpus with a
+    # different layout is a different benchmark input.
+    n_parts = _scaling_parts(n_pages)
+    pages_path = f"{out_dir}-pages-s{seed}-o{start}-n{n_pages}-p{n_parts}"
     spark = make_spark(
         cores,
         shuffle_partitions=max(cores * 2, 32),
         max_partition_bytes=16 * 1024 * 1024,
     )
     try:
-        n_parts = max(cores * 2, 32)
         if not os.path.exists(f"{pages_path}/_SUCCESS"):
             shutil.rmtree(pages_path, ignore_errors=True)
             synth_pages(
                 spark, n_pages, seed=seed, partitions=n_parts, start=start
             ).write.mode("overwrite").parquet(pages_path)
+        # Pre-fault the corpus bytes (untimed): this microVM host reclaims
+        # idle guest pages, so a cold read mid-benchmark pays slow host
+        # faults at an unpredictable rate. Compute scaling is the metric,
+        # not this host's paging behavior.
+        for f in sorted(Path(pages_path).glob("*.parquet")):
+            with open(f, "rb") as fh:
+                while fh.read(1 << 24):
+                    pass
         pages = spark.read.parquet(pages_path)
         # SCALING_BUCKETS=0 (default): map-side mode — each input
         # partition is a bucket; the corpus never shuffles.
@@ -281,6 +300,11 @@ def scaling_worker(cores: int, start: int, n_pages: int, out_dir: str, seed: int
         spark.stop()
         shutil.rmtree(out_dir, ignore_errors=True)
     print(json.dumps({"build_secs": round(wall, 3)}))
+
+
+def _scaling_parts(n_pages: int) -> int:
+    """Input partitions for the scaling corpus: ~15k docs each."""
+    return max(32, n_pages // 15_000)
 
 
 def _cpu_ranges(n_workers: int, cores_each: int) -> list[str | None]:
@@ -365,10 +389,19 @@ def run_scaling_concurrent(base_cores: int, n_pages: int, seed: int = 42) -> dic
     # ensure the shared input corpus exists before both workers race
     _run_pages_cache(base_cores * 4, 0, n_pages, seed)
     procs = []
+    # Output indexes land on tmpfs: the ~1.3 GB segment write would
+    # otherwise contend with the previous repeat's disk writeback and
+    # add tens of seconds of variance to the faster (4N) level.
+    # Core placement: measured workers sit ABOVE core 8 so the unpinned
+    # parent process, kernel threads and flushers (which the scheduler
+    # places on the lowest free cores) never steal measured cycles.
+    lo_start, hi_start = 8, 8 + base_cores + 2
     for label, cores, rng, out in [
-        ("low", base_cores, f"0-{base_cores - 1}", "/tmp/scale-conc-lo"),
+        ("low", base_cores,
+         f"{lo_start}-{lo_start + base_cores - 1}", "/dev/shm/scale-conc-lo"),
         ("high", base_cores * 4,
-         f"{base_cores}-{5 * base_cores - 1}", "/tmp/scale-conc-hi"),
+         f"{hi_start}-{hi_start + 4 * base_cores - 1}",
+         "/dev/shm/scale-conc-hi"),
     ]:
         cmd = ["taskset", "-c", rng, sys.executable, __file__,
                "--scaling-worker", str(cores), "0", str(n_pages), out, str(seed)]
@@ -408,31 +441,37 @@ def _run_pages_cache(cores: int, start: int, n_pages: int, seed: int) -> None:
     throwaway worker dir for each expected path."""
     import shutil as _sh
 
-    for out in ("/tmp/scale-conc-lo", "/tmp/scale-conc-hi"):
-        pages_path = f"{out}-pages-s{seed}-o{start}-n{n_pages}"
+    n_parts = _scaling_parts(n_pages)
+    for out in ("/dev/shm/scale-conc-lo", "/dev/shm/scale-conc-hi"):
+        pages_path = f"{out}-pages-s{seed}-o{start}-n{n_pages}-p{n_parts}"
         if os.path.exists(f"{pages_path}/_SUCCESS"):
             continue
         src = None
-        for cand in ("/tmp/scale-conc-lo", "/tmp/scale-conc-hi",
+        for cand in ("/dev/shm/scale-conc-lo", "/dev/shm/scale-conc-hi",
+                     "/tmp/scale-conc-lo", "/tmp/scale-conc-hi",
                      "/tmp/scaling-segidx-1w0"):
-            c = f"{cand}-pages-s{seed}-o{start}-n{n_pages}"
+            c = f"{cand}-pages-s{seed}-o{start}-n{n_pages}-p{n_parts}"
             if os.path.exists(f"{c}/_SUCCESS"):
                 src = c
                 break
         if src and src != pages_path:
-            try:
-                os.symlink(src, pages_path)
-                continue
-            except OSError:
-                _sh.copytree(src, pages_path)
-                continue
+            # same-tmpfs: symlink shares the RAM pages; cross-fs (an old
+            # /tmp cache): copy INTO tmpfs so reads never touch disk.
+            if src.startswith("/dev/shm"):
+                try:
+                    os.symlink(src, pages_path)
+                    continue
+                except OSError:
+                    pass
+            _sh.copytree(src, pages_path)
+            continue
         spark = make_spark(cores, shuffle_partitions=max(cores * 2, 32))
         try:
             from search_engine_spark.corpus import synth_pages
 
             synth_pages(
                 spark, n_pages, seed=seed,
-                partitions=max(cores * 2, 32), start=start,
+                partitions=n_parts, start=start,
             ).write.mode("overwrite").parquet(pages_path)
         finally:
             spark.stop()

@@ -87,6 +87,11 @@ def q_ann_lsh_topk(spark, sf_dir):
     return embeddings.ann_lsh_topk(_embs(spark, sf_dir))
 
 
+def q_ann_ivf_topk(spark, sf_dir):
+    """IVF coarse-quantizer ANN (probe nearest cells, exact re-rank)."""
+    return embeddings.ann_ivf_topk(_embs(spark, sf_dir))
+
+
 # --- multimodal -----------------------------------------------------------
 
 
@@ -146,6 +151,7 @@ PIPELINE_QUERIES: dict = {
     "cosine_neardup_lsh": q_cosine_neardup_lsh,
     "ann_brute_topk": q_ann_brute_topk,
     "ann_lsh_topk": q_ann_lsh_topk,
+    "ann_ivf_topk": q_ann_ivf_topk,
     "multimodal_features": q_multimodal_features,
     "video_frames": q_video_frames,
 }
@@ -164,6 +170,7 @@ PIPELINE_ORACLES: dict = {
     "cosine_neardup_lsh": embeddings.SQL_COSINE_NEARDUP_LSH_PAIRS,
     "ann_brute_topk": embeddings.SQL_ANN_BRUTE_TOPK,
     "ann_lsh_topk": embeddings.SQL_ANN_LSH_TOPK,
+    "ann_ivf_topk": embeddings.SQL_ANN_IVF_TOPK,
     "multimodal_features": multimodal.SQL_MULTIMODAL_FEATURES,
     "video_frames": multimodal.SQL_VIDEO_FRAMES,
 }

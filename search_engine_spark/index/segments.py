@@ -99,6 +99,7 @@ INDEX_SCHEMA = StructType(
         StructField("df", LongType(), True),
         StructField("postings", BinaryType(), True),
         StructField("blockmeta", BinaryType(), True),
+        StructField("enc_bytes", LongType(), True),
         StructField("encode_secs", DoubleType(), True),
     ]
 )
@@ -337,6 +338,7 @@ def _build_buckets(spark, part, out: Path, todo, run_id, pfor=False) -> None:
             ("df", pa.int64()),
             ("postings", pa.binary()),
             ("blockmeta", pa.binary()),
+            ("enc_bytes", pa.int64()),
             ("encode_secs", pa.float64()),
         ]
     )
@@ -375,6 +377,7 @@ def _build_buckets(spark, part, out: Path, todo, run_id, pfor=False) -> None:
                 nulls(pa.int64()),
                 nulls(pa.binary()),
                 nulls(pa.binary()),
+                nulls(pa.int64()),
                 nulls(pa.float64()),
             ],
             schema=arrow_schema,
@@ -436,6 +439,14 @@ def _build_buckets(spark, part, out: Path, todo, run_id, pfor=False) -> None:
                 pa.array((ends - starts).astype(np.int64)),
                 pa.array([e.postings for e in encoded], type=pa.binary()),
                 pa.array([e.blockmeta for e in encoded], type=pa.binary()),
+                # per-term encoded size: lets the commit metrics sum a
+                # cheap int column instead of scanning the binary bytes
+                pa.array(
+                    np.array(
+                        [len(e.postings) + len(e.blockmeta) for e in encoded],
+                        dtype=np.int64,
+                    )
+                ),
                 pa.array(secs, from_pandas=True),  # NaN -> null
             ],
             schema=arrow_schema,
@@ -446,7 +457,7 @@ def _build_buckets(spark, part, out: Path, todo, run_id, pfor=False) -> None:
         schema=(
             "bucket int, kind int, doc_idx long, url string, dl long, "
             "term_hash long, term string, df long, postings binary, "
-            "blockmeta binary, encode_secs double"
+            "blockmeta binary, enc_bytes long, encode_secs double"
         ),
     )
     with _phase("encode+write"):
@@ -457,59 +468,58 @@ def _build_buckets(spark, part, out: Path, todo, run_id, pfor=False) -> None:
 
 
 def _commit_buckets(spark, out: Path, todo_set: set, run_id: str) -> None:
-    """Commit: lineage rows mark buckets durable; metrics ride along."""
-    idx_read = spark.read.parquet(str(out / "index")).filter(
-        F.col("bucket").isin(list(todo_set))
-    )
-    docs_per_bucket = {
-        r.bucket: r.cnt
-        for r in idx_read.filter(F.col("kind") == 0)
+    """Commit: lineage rows mark buckets durable; metrics ride along.
+
+    ONE scan of the freshly-written buckets computes everything driver-
+    side (n_buckets rows): doc counts, dl sums, term/posting counts and
+    the per-term ``enc_bytes`` sum — no binary column is ever read
+    (summing length(postings) would scan the whole segment payload,
+    a fixed serial tail that hurt the high-parallelism bench levels).
+    """
+    agg_rows = (
+        spark.read.parquet(str(out / "index"))
+        .filter(F.col("bucket").isin(list(todo_set)))
         .groupBy("bucket")
-        .agg(F.count(F.lit(1)).alias("cnt"))
+        .agg(
+            F.sum(F.when(F.col("kind") == 0, 1).otherwise(0)).alias("input_docs"),
+            F.sum(F.when(F.col("kind") == 0, F.col("dl"))).alias("dl_sum"),
+            F.sum(F.when(F.col("kind") == 1, 1).otherwise(0)).alias("n_terms"),
+            F.sum(F.when(F.col("kind") == 1, F.col("df"))).alias("n_postings"),
+            F.sum("enc_bytes").alias("segment_bytes"),
+            F.max("encode_secs").alias("encode_secs"),
+        )
         .collect()
-    }
+    )
+    by_bucket = {r.bucket: r for r in agg_rows}
     now = time.time()
     lineage_rows = [
         (run_id, int(bkt), "committed", f"{out}/index/bucket={bkt}",
-         int(docs_per_bucket.get(bkt, 0)), now)
+         int(by_bucket[bkt].input_docs if bkt in by_bucket else 0), now)
         for bkt in sorted(todo_set)
     ]
     spark.createDataFrame(lineage_rows, LINEAGE_SCHEMA).coalesce(1).write.mode(
         "append"
     ).parquet(str(out / "lineage.parquet"))
 
-    metrics = (
-        idx_read.filter(F.col("kind") == 1)
-        .groupBy("bucket")
-        .agg(
-            F.count(F.lit(1)).alias("n_terms"),
-            F.sum("df").alias("n_postings"),
-            (F.sum(F.length("postings")) + F.sum(F.length("blockmeta"))).alias(
-                "segment_bytes"
-            ),
-            F.max("encode_secs").alias("encode_secs"),
+    metric_rows = []
+    for bkt in sorted(todo_set):
+        r = by_bucket.get(bkt)
+        if r is None or not r.n_terms:
+            continue
+        es = float(r.encode_secs) if r.encode_secs is not None else None
+        metric_rows.append(
+            (run_id, int(bkt), int(r.input_docs), int(r.dl_sum or 0),
+             int(r.n_terms), int(r.n_postings), int(r.segment_bytes or 0),
+             es,
+             (r.input_docs / es) if es else None,
+             (r.n_postings / es) if es else None)
         )
-        .withColumn("run_id", F.lit(run_id))
-    )
-    docs_df = spark.createDataFrame(
-        [(int(k), int(v)) for k, v in docs_per_bucket.items()], ["bucket", "input_docs"]
-    )
-    (
-        metrics.join(docs_df, "bucket")
-        .withColumn(
-            "docs_per_sec", F.col("input_docs") / F.col("encode_secs")
-        )
-        .withColumn(
-            "postings_per_sec", F.col("n_postings") / F.col("encode_secs")
-        )
-        .select(
-            "run_id", "bucket", "input_docs", "n_terms", "n_postings",
-            "segment_bytes", "encode_secs", "docs_per_sec", "postings_per_sec",
-        )
-        .coalesce(1)
-        .write.mode("append")
-        .parquet(str(out / "metrics.parquet"))
-    )
+    spark.createDataFrame(
+        metric_rows,
+        "run_id string, bucket int, input_docs long, dl_sum long, "
+        "n_terms long, n_postings long, segment_bytes long, "
+        "encode_secs double, docs_per_sec double, postings_per_sec double",
+    ).coalesce(1).write.mode("append").parquet(str(out / "metrics.parquet"))
 
 
 def build_segments_from_postings(
@@ -564,7 +574,7 @@ def build_segments_from_postings(
     arrow_schema_str = (
         "bucket int, kind int, doc_idx long, url string, dl long, "
         "term_hash long, term string, df long, postings binary, "
-        "blockmeta binary, encode_secs double"
+        "blockmeta binary, enc_bytes long, encode_secs double"
     )
 
     def encode_partition(batches):
@@ -600,7 +610,7 @@ def build_segments_from_postings(
                 ("dl", pa.int64()), ("term_hash", pa.int64()),
                 ("term", pa.string()), ("df", pa.int64()),
                 ("postings", pa.binary()), ("blockmeta", pa.binary()),
-                ("encode_secs", pa.float64()),
+                ("enc_bytes", pa.int64()), ("encode_secs", pa.float64()),
             ]
         )
 
@@ -616,7 +626,8 @@ def build_segments_from_postings(
                 pa.array(dl_per_doc),
                 nulls(n_docs, pa.int64()), nulls(n_docs, pa.string()),
                 nulls(n_docs, pa.int64()), nulls(n_docs, pa.binary()),
-                nulls(n_docs, pa.binary()), nulls(n_docs, pa.float64()),
+                nulls(n_docs, pa.binary()), nulls(n_docs, pa.int64()),
+                nulls(n_docs, pa.float64()),
             ],
             schema=arrow_schema,
         )
@@ -661,6 +672,12 @@ def build_segments_from_postings(
                 pa.array((ends - starts).astype(np.int64)),
                 pa.array([e.postings for e in encoded], type=pa.binary()),
                 pa.array([e.blockmeta for e in encoded], type=pa.binary()),
+                pa.array(
+                    np.array(
+                        [len(e.postings) + len(e.blockmeta) for e in encoded],
+                        dtype=np.int64,
+                    )
+                ),
                 pa.array(secs, from_pandas=True),
             ],
             schema=arrow_schema,

@@ -381,3 +381,146 @@ FROM pairs JOIN n x ON x.vec_id = id_a JOIN n y ON y.vec_id = id_b
 WHERE round({_sql_dot('x.v', 'y.v')} / (x.nrm * y.nrm) + 1e-9, 6)
       >= {NEARDUP_MIN_COS}
 """
+
+
+# --- IVF (inverted-file) ANN ----------------------------------------------
+
+IVF_CELLS = 16   # coarse-quantizer cells (centroids)
+IVF_NPROBE = 4   # cells probed per query
+
+
+def _ivf_assignments(n: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(centroids, assignments) for the IVF coarse quantizer.
+
+    Centroids are the first ``IVF_CELLS`` vectors by vec_id — a
+    deterministic sample (standard practice seeds k-means from a sample;
+    the assignment-only quantizer keeps the oracle SQL exact). Every
+    vector is assigned to the centroid with the highest cosine
+    (ties: lower cell_id). At 10^9 rows the assignment is a broadcast
+    join against 16 rows + a per-row argmax — one scan, no shuffle; the
+    cell becomes the partition key of the vector table at write time
+    (Iceberg ``bucket``/identity partition on cell), so probes prune
+    partitions instead of scanning.
+    """
+    from pyspark.sql import Window
+
+    cents = n.filter(F.col("vec_id") < IVF_CELLS).select(
+        F.col("vec_id").alias("cell_id"),
+        F.col("v").alias("cv"),
+        F.col("nrm").alias("cn"),
+    )
+    scored = (
+        n.join(F.broadcast(cents))
+        .select(
+            "vec_id", "v", "nrm", "cell_id",
+            _round6(
+                _dot(F.col("v"), F.col("cv")) / (F.col("nrm") * F.col("cn"))
+            ).alias("ccos"),
+        )
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("ccos"), F.asc("cell_id"))
+    assigned = (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("vec_id", "v", "nrm", "cell_id")
+    )
+    return cents, assigned
+
+
+def ann_ivf_topk(embs: DataFrame) -> DataFrame:
+    """(query_id, rank, vec_id, cosine) — IVF ANN: queries probe their
+    ``IVF_NPROBE`` nearest cells, candidates are the vectors assigned to
+    those cells, exact cosine re-rank to top-10. Deterministic end to
+    end (sample centroids, 6dp-rounded scores, cell_id/vec_id ASC
+    tie-breaks) so the DuckDB oracle matches exactly; recall < 1 by
+    design (measured vs brute force in tests)."""
+    from pyspark.sql import Window
+
+    n = _vectors(embs)
+    cents, assigned = _ivf_assignments(n)
+    q = n.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"),
+    )
+    qcells = (
+        F.broadcast(q)
+        .join(F.broadcast(cents))
+        .select(
+            "query_id", "qv", "qn", "cell_id",
+            _round6(
+                _dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))
+            ).alias("qcos"),
+        )
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        F.desc("qcos"), F.asc("cell_id")
+    )
+    probes = (
+        qcells.withColumn("rk", F.row_number().over(wq))
+        .filter(F.col("rk") <= IVF_NPROBE)
+        .select("query_id", "qv", "qn", "cell_id")
+    )
+    cand = (
+        F.broadcast(probes)
+        .join(assigned, "cell_id")
+        .filter(F.col("query_id") != F.col("vec_id"))
+        .select("query_id", "qv", "qn", "vec_id", "v", "nrm")
+    )
+    scored = cand.select(
+        "query_id",
+        "vec_id",
+        _round6(
+            _dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("nrm"))
+        ).alias("cosine"),
+    )
+    return _ranked_topk(scored)
+
+
+SQL_ANN_IVF_TOPK = rf"""
+WITH {_SQL_VECTORS},
+cents AS (
+    SELECT vec_id AS cell_id, v AS cv, nrm AS cn FROM n
+    WHERE vec_id < {IVF_CELLS}
+),
+assigned AS (
+    SELECT vec_id, v, nrm, cell_id FROM (
+        SELECT n.vec_id, n.v, n.nrm, c.cell_id,
+               row_number() OVER (
+                   PARTITION BY n.vec_id
+                   ORDER BY round({_sql_dot('n.v', 'c.cv')} / (n.nrm * c.cn)
+                                  + 1e-9, 6) DESC,
+                            c.cell_id ASC
+               ) AS rk
+        FROM n CROSS JOIN cents c
+    ) WHERE rk = 1
+),
+probes AS (
+    SELECT query_id, qv, qn, cell_id FROM (
+        SELECT q.vec_id AS query_id, q.v AS qv, q.nrm AS qn, c.cell_id,
+               row_number() OVER (
+                   PARTITION BY q.vec_id
+                   ORDER BY round({_sql_dot('q.v', 'c.cv')} / (q.nrm * c.cn)
+                                  + 1e-9, 6) DESC,
+                            c.cell_id ASC
+               ) AS rk
+        FROM n q CROSS JOIN cents c
+        WHERE q.vec_id < {N_QUERIES}
+    ) WHERE rk <= {IVF_NPROBE}
+),
+scored AS (
+    SELECT p.query_id, a.vec_id,
+           round({_sql_dot('p.qv', 'a.v')} / (p.qn * a.nrm) + 1e-9, 6)
+               AS cosine
+    FROM probes p JOIN assigned a USING (cell_id)
+    WHERE p.query_id <> a.vec_id
+),
+ranked AS (
+    SELECT query_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY cosine DESC, vec_id ASC)::INTEGER AS rank,
+           vec_id, cosine
+    FROM scored
+)
+SELECT query_id, rank, vec_id, cosine FROM ranked WHERE rank <= {ANN_K}
+"""

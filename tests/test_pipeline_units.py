@@ -162,3 +162,19 @@ def test_pipeline_tokenizer_ascii_contract(spark):
     assert got == exp
     # ASCII \w splits at accented letters — the pinned (non-Unicode) behavior
     assert got == ["h", "llo", "w", "rld", "it", "s", "123_x"]
+
+
+def test_ivf_recall_reasonable(spark):
+    """IVF ANN (probe 4/16 cells, exact re-rank) must overlap brute
+    force meaningfully — determinism is gated by the oracle; this checks
+    the recall isn't degenerate."""
+    sf = "/root/testdata/sf0.001"
+    embs = spark.read.parquet(f"{sf}/embeddings.parquet")
+    brute = {
+        (r.query_id, r.vec_id) for r in emb.ann_brute_topk(embs).collect()
+    }
+    ivf = {
+        (r.query_id, r.vec_id) for r in emb.ann_ivf_topk(embs).collect()
+    }
+    recall = len(brute & ivf) / len(brute)
+    assert recall > 0.2, f"IVF recall collapsed: {recall:.2f}"

@@ -38,26 +38,41 @@ def hash60_col(c: Column) -> Column:
     return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
 
 
+def positional_grams(words: Column) -> Column:
+    """Positional word 3-grams (space-joined), length max(n-2, 0).
+
+    Built with zip_with over 1- and 2-shifted slices so ``words`` only
+    ever appears in ARGUMENT position. This matters enormously: a
+    ``transform(sequence(1, n-2), i -> element_at(words, i) ...)``
+    formulation references ``words`` inside the lambda body, and
+    Catalyst inlines (never materializes) the referenced expression —
+    the tokenizer regex would re-run for every gram, O(n^2) per
+    document (measured as the dominant cost of every shingle-based
+    operator). Arguments are evaluated once per row. zip_with pads the
+    shorter side with null and concat_ws skips nulls, so the last two
+    entries are partial grams — sliced off.
+    """
+    n = F.size(words)
+    pair = F.zip_with(
+        words,
+        F.slice(words, 2, F.greatest(n - 1, F.lit(0))),
+        lambda x, y: F.concat_ws(" ", x, y),
+    )
+    tri = F.zip_with(
+        pair,
+        F.slice(words, 3, F.greatest(n - 2, F.lit(0))),
+        lambda x, y: F.concat_ws(" ", x, y),
+    )
+    return F.slice(tri, 1, F.greatest(n - (SHINGLE_W - 1), F.lit(0)))
+
+
 def shingles_col(words: Column) -> Column:
     """Distinct word 3-grams of a token array (space-joined).
 
     Empty when the document has fewer than 3 tokens — same convention on
     the SQL side (range() yields no positions).
     """
-    grams = F.transform(
-        F.sequence(F.lit(1), F.size(words) - (SHINGLE_W - 1)),
-        lambda i: F.concat_ws(
-            " ",
-            F.element_at(words, i),
-            F.element_at(words, i + 1),
-            F.element_at(words, i + 2),
-        ),
-    )
-    # Guard: Spark's sequence(1, n) is *descending* for n < 1, so short
-    # documents must short-circuit to an empty gram list explicitly.
-    return F.when(
-        F.size(words) >= SHINGLE_W, F.array_distinct(grams)
-    ).otherwise(F.array().cast("array<string>"))
+    return F.array_distinct(positional_grams(words))
 
 
 def round6_col(c: Column) -> Column:

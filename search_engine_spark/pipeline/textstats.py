@@ -19,7 +19,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .common import hash60_col, round6_col, sql_hash60, sql_words, words_col
+from .common import (
+    hash60_col,
+    positional_grams,
+    round6_col,
+    sql_hash60,
+    sql_words,
+    words_col,
+)
 
 # Frozen marker-word profiles for the n-gram/stopword language-ID
 # heuristic. Overlaps across languages are deliberate (real function
@@ -137,25 +144,30 @@ def fingerprints(docs: DataFrame) -> DataFrame:
     on the oracle side).
     """
     w = words_col("text")
-    grams = F.transform(
-        F.sequence(F.lit(1), F.size(w) - 2),
-        lambda i: F.concat_ws(
-            " ", F.element_at(w, i), F.element_at(w, i + 1), F.element_at(w, i + 2)
-        ),
-    )
-    grams = F.when(F.size(w) >= 3, grams).otherwise(F.array().cast("array<string>"))
+    grams = positional_grams(w)
     h = F.transform(grams, lambda g: hash60_col(g))
-    n = F.size(h)
     # Sliding min over each window start i (window clipped at the array
-    # end — identical to ROWS BETWEEN CURRENT ROW AND W-1 FOLLOWING).
-    # sequence(1, 0) would be *descending*, so short-circuit n == 0.
-    mins = F.when(
-        n >= 1,
-        F.transform(
-            F.sequence(F.lit(1), n),
-            lambda i: F.array_min(F.slice(h, i, WINNOW_WINDOW)),
-        ),
-    ).otherwise(F.array().cast("array<long>"))
+    # end — identical to ROWS BETWEEN CURRENT ROW AND W-1 FOLLOWING),
+    # computed by sparse-table doubling: level k holds
+    # m_k[i] = min(h[i .. i+2^k-1]); zip_with against the 2^k-shifted
+    # array doubles the window per level, and zip_with's null padding +
+    # least's null-skipping give the clipped tail for free. Doubling
+    # matters because Catalyst inlines (not materializes) array columns
+    # into downstream lambdas: a naive per-position
+    # array_min(slice(h, i, W)) re-evaluates the md5 gram hashing for
+    # EVERY position — O(n^2) hashing per document (a measured 438 s at
+    # sf0.1 vs ~4 s for this form). Doubling references h only 2^levels
+    # = 4 times total, independent of document length.
+    m1 = F.zip_with(
+        h,
+        F.slice(h, 2, F.greatest(F.size(h) - 1, F.lit(0))),
+        lambda x, y: F.least(x, y),
+    )
+    mins = F.zip_with(
+        m1,
+        F.slice(m1, 3, F.greatest(F.size(m1) - 2, F.lit(0))),
+        lambda x, y: F.least(x, y),
+    )
     sel = F.array_distinct(mins)
     picked = docs.select(
         F.col("doc_id").cast("long").alias("doc_id"), sel.alias("sel")

@@ -204,3 +204,30 @@ def test_pfor_build_same_results_smaller_index(spark, tmp_path, index_dir):
         )
 
     assert seg_bytes(d) < seg_bytes(index_dir)
+
+
+def test_wand_scan_pushes_term_filter_to_parquet(spark, index_dir):
+    """The serving scan's term_hash predicate must reach the parquet
+    reader (PushedFilters), and the unified scan must read only the
+    columns the kernel needs — plan-quality guards for the 100 TB case
+    where an unpruned scan is the difference between reading gigabytes
+    and reading everything."""
+    from pyspark.sql import functions as SF
+
+    from search_engine_spark.index.segments import read_index
+
+    scan = (
+        read_index(spark, index_dir)
+        .filter(
+            (SF.col("kind") == 0)
+            | ((SF.col("kind") == 1) & SF.col("term_hash").isin([123, 456]))
+        )
+        .select("bucket", "kind", "doc_idx", "dl", "term", "postings", "blockmeta")
+    )
+    plan = scan._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan, plan
+    assert "term_hash" in plan.split("PushedFilters")[1][:400], plan
+    # column pruning: url and encode_secs are not in the read schema
+    read_schema = plan.split("ReadSchema")[1][:500] if "ReadSchema" in plan else plan
+    assert "url" not in read_schema
+    assert "encode_secs" not in read_schema

@@ -389,42 +389,91 @@ IVF_CELLS = 16   # coarse-quantizer cells (centroids)
 IVF_NPROBE = 4   # cells probed per query
 
 
-def _ivf_assignments(n: DataFrame) -> tuple[DataFrame, DataFrame]:
-    """(centroids, assignments) for the IVF coarse quantizer.
+def _collect_centroids(n: DataFrame) -> list[tuple[int, list[float], float]]:
+    """[(cell_id, centroid_vector, centroid_norm)] for the coarse quantizer.
 
     Centroids are the first ``IVF_CELLS`` vectors by vec_id — a
     deterministic sample (standard practice seeds k-means from a sample;
-    the assignment-only quantizer keeps the oracle SQL exact). Every
-    vector is assigned to the centroid with the highest cosine
-    (ties: lower cell_id). At 10^9 rows the assignment is a broadcast
-    join against 16 rows + a per-row argmax — one scan, no shuffle; the
-    cell becomes the partition key of the vector table at write time
-    (Iceberg ``bucket``/identity partition on cell), so probes prune
-    partitions instead of scanning.
+    the assignment-only quantizer keeps the oracle SQL exact). They are
+    collected driver-side ONCE and embedded in the plan as expression
+    literals — exactly how a trained IVF coarse quantizer ships to
+    executors (16 x 64 doubles = 8 KB), the same pattern as the LSH
+    ``HYPERPLANES`` literals above. At 10^9 rows this collect is a
+    16-row pushed-down filter scan, not a data-dependent shuffle.
     """
-    from pyspark.sql import Window
+    rows = (
+        n.filter(F.col("vec_id") < IVF_CELLS)
+        .select("vec_id", "v", "nrm")
+        .orderBy("vec_id")
+        .collect()
+    )
+    return [(int(r.vec_id), [float(x) for x in r.v], float(r.nrm)) for r in rows]
 
-    cents = n.filter(F.col("vec_id") < IVF_CELLS).select(
-        F.col("vec_id").alias("cell_id"),
-        F.col("v").alias("cv"),
-        F.col("nrm").alias("cn"),
-    )
-    scored = (
-        n.join(F.broadcast(cents))
-        .select(
-            "vec_id", "v", "nrm", "cell_id",
-            _round6(
-                _dot(F.col("v"), F.col("cv")) / (F.col("nrm") * F.col("cn"))
-            ).alias("ccos"),
+
+def _cell_cosines(
+    cents: list[tuple[int, list[float], float]], v: str, nrm: str
+) -> list[Column]:
+    """Per-row rounded cosine vs each literal centroid (one expr per cell)."""
+    return [
+        _round6(
+            _dot(F.col(v), F.array(*[F.lit(x) for x in cv]))
+            / (F.col(nrm) * F.lit(cn))
         )
+        for _, cv, cn in cents
+    ]
+
+
+def _assign_cells(
+    n: DataFrame, cents: list[tuple[int, list[float], float]]
+) -> DataFrame:
+    """(vec_id, v, nrm, cell_id) — zero-shuffle cell assignment.
+
+    Each row computes its ``IVF_CELLS`` cosines against the literal
+    centroids and argmaxes in-expression: ``array_position`` returns the
+    FIRST index of the max, so ties break to the lower cell_id — the
+    same (ccos DESC, cell_id ASC) order the oracle's window uses. No
+    join, no Exchange, no row amplification (no-Exchange plan asserted
+    in tests/test_pipeline_units.py); the previous form cross-joined 16
+    centroids then shuffled 16N embedding-bearing rows through a window.
+    """
+    cos = _cell_cosines(cents, "v", "nrm")
+    sc = F.array(*cos)
+    cell_ids = F.array(*[F.lit(cid) for cid, _, _ in cents])
+    return n.select(
+        "vec_id",
+        "v",
+        "nrm",
+        F.element_at(
+            cell_ids, F.array_position(sc, F.array_max(sc)).cast("int")
+        ).alias("cell_id"),
     )
-    w = Window.partitionBy("vec_id").orderBy(F.desc("ccos"), F.asc("cell_id"))
-    assigned = (
-        scored.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") == 1)
-        .select("vec_id", "v", "nrm", "cell_id")
+
+
+def _probe_cells(
+    q: DataFrame, cents: list[tuple[int, list[float], float]]
+) -> DataFrame:
+    """(query_id, qv, qn, cell_id) — each query's IVF_NPROBE nearest cells.
+
+    Same literal-centroid cosines; top-NPROBE selected in-expression by
+    sorting (2.0 - ccos, cell_id) structs ascending == (ccos DESC,
+    cell_id ASC). ``2.0 - ccos`` is a strictly positive monotone key
+    (ccos <= 1 + eps), dodging the -0.0 ordering edge a plain negation
+    has.
+    """
+    cos = _cell_cosines(cents, "qv", "qn")
+    keyed = F.array(
+        *[
+            F.struct(
+                (F.lit(2.0) - c).alias("key"),
+                F.lit(cid).alias("cell_id"),
+            )
+            for c, (cid, _, _) in zip(cos, cents)
+        ]
     )
-    return cents, assigned
+    probe = F.slice(F.sort_array(keyed), 1, IVF_NPROBE)
+    return q.select(
+        "query_id", "qv", "qn", F.explode(probe).alias("p")
+    ).select("query_id", "qv", "qn", F.col("p.cell_id").alias("cell_id"))
 
 
 def ann_ivf_topk(embs: DataFrame) -> DataFrame:
@@ -433,34 +482,24 @@ def ann_ivf_topk(embs: DataFrame) -> DataFrame:
     those cells, exact cosine re-rank to top-10. Deterministic end to
     end (sample centroids, 6dp-rounded scores, cell_id/vec_id ASC
     tie-breaks) so the DuckDB oracle matches exactly; recall < 1 by
-    design (measured vs brute force in tests)."""
-    from pyspark.sql import Window
+    design (measured vs brute force in tests).
 
+    Scale shape: assignment is a single zero-shuffle scan
+    (:func:`_assign_cells`); at write time ``cell_id`` becomes the
+    table's partition key (Iceberg identity partition — demonstrated in
+    :func:`write_cell_partitioned` below), so the probe join prunes
+    partitions instead of scanning. The only shuffles left are the
+    broadcast-probe candidate join (probe side is tiny) and the final
+    per-query top-k."""
     n = _vectors(embs)
-    cents, assigned = _ivf_assignments(n)
+    cents = _collect_centroids(n)
+    assigned = _assign_cells(n, cents)
     q = n.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("v").alias("qv"),
         F.col("nrm").alias("qn"),
     )
-    qcells = (
-        F.broadcast(q)
-        .join(F.broadcast(cents))
-        .select(
-            "query_id", "qv", "qn", "cell_id",
-            _round6(
-                _dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))
-            ).alias("qcos"),
-        )
-    )
-    wq = Window.partitionBy("query_id").orderBy(
-        F.desc("qcos"), F.asc("cell_id")
-    )
-    probes = (
-        qcells.withColumn("rk", F.row_number().over(wq))
-        .filter(F.col("rk") <= IVF_NPROBE)
-        .select("query_id", "qv", "qn", "cell_id")
-    )
+    probes = _probe_cells(q, cents)
     cand = (
         F.broadcast(probes)
         .join(assigned, "cell_id")

@@ -164,6 +164,27 @@ def test_pipeline_tokenizer_ascii_contract(spark):
     assert got == ["h", "llo", "w", "rld", "it", "s", "123_x"]
 
 
+def test_ivf_assignment_plan_is_shuffle_free(spark):
+    """IVF cell assignment is per-row expression math against literal
+    centroids — the physical plan must contain no Exchange (the old
+    version cross-joined 16 centroids then windowed over 16N
+    embedding-bearing rows)."""
+    sf = "/root/testdata/sf0.001"
+    embs = spark.read.parquet(f"{sf}/embeddings.parquet")
+    n = emb._vectors(embs)
+    cents = emb._collect_centroids(n)
+    assigned = emb._assign_cells(n, cents)
+    plan = assigned._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+    # and ties break to the lower cell_id: centroids are their own
+    # nearest centroid (cosine 1.0 with themselves, first occurrence wins)
+    own = {
+        r.vec_id: r.cell_id
+        for r in assigned.filter(F.col("vec_id") < emb.IVF_CELLS).collect()
+    }
+    assert own == {cid: cid for cid, _, _ in cents}
+
+
 def test_ivf_recall_reasonable(spark):
     """IVF ANN (probe 4/16 cells, exact re-rank) must overlap brute
     force meaningfully — determinism is gated by the oracle; this checks

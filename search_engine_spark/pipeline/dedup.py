@@ -29,7 +29,9 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+import hashlib
+
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from .common import hash60_col, round6_col, shingles_col, sql_hash60, sql_shingles, sql_words, words_col
@@ -41,6 +43,41 @@ SIMHASH_BANDS = 4    # 4 bands x 8 bits
 HAMMING_MAX = 6      # report pairs with hamming distance <= 6 among candidates
 JACCARD_MIN = 0.05   # n-gram Jaccard report threshold
 DF_CAP = 100         # drop shingles shared by more than this many docs
+BAND_CAP = 100       # drop LSH band keys shared by more than this many docs
+
+# MinHash universal-hash family: ONE md5 base hash per shingle, then K
+# affine mixes (a_k*lo + b_k*hi + k) mod P over the split 30-bit halves
+# of the 60-bit base hash. The split keeps every intermediate < 2^61 so
+# the arithmetic is exact (no wraparound) in BOTH engines — Java longs
+# and DuckDB BIGINTs agree bit-for-bit, and DuckDB would *error* on
+# overflow rather than wrap. This is the standard sketch-library
+# construction (one strong hash + K cheap universal hashes) and cuts
+# the per-shingle cost from K md5 evaluations to one.
+MINHASH_P = (1 << 61) - 1   # Mersenne prime 2^61-1
+_MASK30 = (1 << 30) - 1
+
+
+def _mh_params(k: int) -> tuple[int, int]:
+    """Deterministic (a_k, b_k) for the k-th universal hash (from md5)."""
+    a = int(hashlib.md5(f"mha|{k}".encode()).hexdigest()[:15], 16) % _MASK30 + 1
+    b = int(hashlib.md5(f"mhb|{k}".encode()).hexdigest()[:15], 16) % (1 << 30)
+    return a, b
+
+
+MH_PARAMS: list[tuple[int, int]] = [_mh_params(k) for k in range(MINHASH_K)]
+
+
+def _mh_col(h: Column, k: int) -> Column:
+    """k-th universal hash of a 60-bit base hash column (exact int64)."""
+    a, b = MH_PARAMS[k]
+    lo = h.bitwiseAND(F.lit(_MASK30))
+    hi = F.shiftright(h, 30)
+    return (F.lit(a) * lo + F.lit(b) * hi + F.lit(k)) % F.lit(MINHASH_P)
+
+
+def _sql_mh(h: str, k: int) -> str:
+    a, b = MH_PARAMS[k]
+    return f"(({a} * ({h} & {_MASK30}) + {b} * ({h} >> 30) + {k}) % {MINHASH_P})"
 
 
 # --- exact ----------------------------------------------------------------
@@ -104,19 +141,12 @@ def _doc_shingles(docs: DataFrame) -> DataFrame:
 def minhash_signatures(docs: DataFrame) -> DataFrame:
     """(doc_id, k, minhash) — K=32 min-hashes per document.
 
-    h_k(s) = hash60(k || '|' || s); one groupBy(doc_id) with K min
-    aggregates (partial-aggregated map-side, so the shuffle row per doc
-    is just the K running minimums).
+    h_k(s) = universal_k(hash60(s)) — one md5 per shingle, K affine
+    mixes (see MH_PARAMS); one groupBy(doc_id) with K min aggregates
+    (partial-aggregated map-side, so the shuffle row per doc is just
+    the K running minimums).
     """
-    sh = _doc_shingles(docs)
-    mins = sh.groupBy("doc_id").agg(
-        *[
-            F.min(
-                hash60_col(F.concat(F.lit(str(k)), F.lit("|"), F.col("shingle")))
-            ).alias(f"mh{k}")
-            for k in range(MINHASH_K)
-        ]
-    )
+    mins = _signature_wide(docs)
     sig = F.array(*[F.col(f"mh{k}") for k in range(MINHASH_K)])
     return mins.select(
         "doc_id", F.posexplode(sig).alias("k", "minhash")
@@ -124,14 +154,11 @@ def minhash_signatures(docs: DataFrame) -> DataFrame:
 
 
 def _signature_wide(docs: DataFrame) -> DataFrame:
-    sh = _doc_shingles(docs)
-    return sh.groupBy("doc_id").agg(
-        *[
-            F.min(
-                hash60_col(F.concat(F.lit(str(k)), F.lit("|"), F.col("shingle")))
-            ).alias(f"mh{k}")
-            for k in range(MINHASH_K)
-        ]
+    hashed = _doc_shingles(docs).select(
+        "doc_id", hash60_col(F.col("shingle")).alias("h")
+    )
+    return hashed.groupBy("doc_id").agg(
+        *[F.min(_mh_col(F.col("h"), k)).alias(f"mh{k}") for k in range(MINHASH_K)]
     )
 
 
@@ -139,6 +166,13 @@ def minhash_pairs(docs: DataFrame) -> DataFrame:
     """(doc_id_a, doc_id_b, n_bands_shared, est_jaccard) — LSH candidate
     pairs (>=1 shared band of the 8x4 banding) with their signature-
     agreement Jaccard estimate.
+
+    Band keys shared by more than ``BAND_CAP`` docs are dropped before
+    the self-join — the standard LSH hot-bucket cut. A boilerplate band
+    value shared by m docs produces an m^2 candidate blow-up in ONE
+    task (the join key is the band), so the cap is the skew bound; the
+    docs it drops are exact/near-exact clusters that exact dedup
+    already catches, so the near-dup signal lost is nil.
     """
     wide = _signature_wide(docs)
     r = MINHASH_K // LSH_BANDS
@@ -157,10 +191,17 @@ def minhash_pairs(docs: DataFrame) -> DataFrame:
             )
         ).alias("band_idx", "band_key"),
     )
+    kept = bands.join(
+        bands.groupBy("band_idx", "band_key")
+        .agg(F.count(F.lit(1)).alias("bdf"))
+        .filter(F.col("bdf") <= BAND_CAP)
+        .select("band_idx", "band_key"),
+        ["band_idx", "band_key"],
+    )
     cand = (
-        bands.alias("a")
+        kept.alias("a")
         .join(
-            bands.alias("b"),
+            kept.alias("b"),
             on=[
                 F.col("a.band_idx") == F.col("b.band_idx"),
                 F.col("a.band_key") == F.col("b.band_key"),
@@ -202,12 +243,13 @@ sh AS (
 )"""
 
 _SQL_SIG_WIDE = (
-    "sig AS (\n    SELECT doc_id,\n           "
+    "shh AS (\n    SELECT doc_id, "
+    + sql_hash60("shingle")
+    + " AS h FROM sh\n),\nsig AS (\n    SELECT doc_id,\n           "
     + ",\n           ".join(
-        "min(" + sql_hash60(f"'{k}' || '|' || shingle") + f") AS mh{k}"
-        for k in range(MINHASH_K)
+        f"min({_sql_mh('h', k)}) AS mh{k}" for k in range(MINHASH_K)
     )
-    + "\n    FROM sh GROUP BY doc_id\n)"
+    + "\n    FROM shh GROUP BY doc_id\n)"
 )
 
 SQL_MINHASH_SIGNATURES = rf"""
@@ -244,10 +286,15 @@ SQL_MINHASH_PAIRS = rf"""
 WITH {_SQL_SHINGLES},
 {_SQL_SIG_WIDE},
 {_SQL_BANDS},
+kept AS (
+    SELECT bands.* FROM bands
+    JOIN (SELECT band_idx, band_key FROM bands GROUP BY 1, 2
+          HAVING count(*) <= {BAND_CAP}) k USING (band_idx, band_key)
+),
 cand AS (
     SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
            count(*)::BIGINT AS n_bands_shared
-    FROM bands a JOIN bands b
+    FROM kept a JOIN kept b
       ON a.band_idx = b.band_idx AND a.band_key = b.band_key
      AND a.doc_id < b.doc_id
     GROUP BY 1, 2
@@ -298,7 +345,11 @@ def simhash_pairs(docs: DataFrame) -> DataFrame:
     """(doc_id_a, doc_id_b, hamming) — banded Hamming-distance pairs.
 
     Candidates share at least one of 4 8-bit bands (pigeonhole-complete
-    for hd <= 3); reported at hd <= HAMMING_MAX.
+    for hd <= 3); reported at hd <= HAMMING_MAX. Band values shared by
+    more than ``BAND_CAP`` docs are dropped before the self-join — the
+    same hot-bucket skew bound as :func:`minhash_pairs` (a boilerplate
+    band value means one quadratic task at scale; those clusters are
+    exact-dedup territory, not SimHash's).
     """
     sig = simhash_signatures(docs)
     width = SIMHASH_BITS // SIMHASH_BANDS
@@ -315,10 +366,17 @@ def simhash_pairs(docs: DataFrame) -> DataFrame:
             )
         ).alias("band_idx", "band_val"),
     )
+    kept = bands.join(
+        bands.groupBy("band_idx", "band_val")
+        .agg(F.count(F.lit(1)).alias("bdf"))
+        .filter(F.col("bdf") <= BAND_CAP)
+        .select("band_idx", "band_val"),
+        ["band_idx", "band_val"],
+    )
     pairs = (
-        bands.alias("a")
+        kept.alias("a")
         .join(
-            bands.alias("b"),
+            kept.alias("b"),
             on=[
                 F.col("a.band_idx") == F.col("b.band_idx"),
                 F.col("a.band_val") == F.col("b.band_val"),
@@ -378,10 +436,15 @@ bands AS (
            unnest([{", ".join(f"(simhash >> {b * _W}) & {(1 << _W) - 1}" for b in range(SIMHASH_BANDS))}]) AS band_val,
            generate_subscripts([{", ".join("1" for _ in range(SIMHASH_BANDS))}], 1) - 1 AS band_idx
     FROM sig
+),
+kept AS (
+    SELECT bands.* FROM bands
+    JOIN (SELECT band_idx, band_val FROM bands GROUP BY 1, 2
+          HAVING count(*) <= {BAND_CAP}) k USING (band_idx, band_val)
 )
 SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
        bit_count(xor(a.simhash, b.simhash))::INTEGER AS hamming
-FROM bands a JOIN bands b
+FROM kept a JOIN kept b
   ON a.band_idx = b.band_idx AND a.band_val = b.band_val
  AND a.doc_id < b.doc_id
 WHERE bit_count(xor(a.simhash, b.simhash)) <= {HAMMING_MAX}

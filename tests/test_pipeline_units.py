@@ -164,6 +164,34 @@ def test_pipeline_tokenizer_ascii_contract(spark):
     assert got == ["h", "llo", "w", "rld", "it", "s", "123_x"]
 
 
+def test_lsh_hot_band_cap_bounds_skew(spark):
+    """A synthetic hot band — BAND_CAP+20 identical docs sharing every
+    band key — must NOT produce a quadratic candidate blow-up: the cap
+    drops the hot band keys before the self-join, while a genuine
+    near-dup pair on cold bands survives."""
+    from search_engine_spark.pipeline import dedup
+
+    n_hot = dedup.BAND_CAP + 20
+    boiler = "the quick brown fox jumps over the lazy dog again and again"
+    near_a = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    near_b = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda"
+    rows = [(i, boiler) for i in range(n_hot)]
+    rows += [(n_hot, near_a), (n_hot + 1, near_b)]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    mh = dedup.minhash_pairs(docs).collect()
+    ids = {r.doc_id_a for r in mh} | {r.doc_id_b for r in mh}
+    # no pair from the hot cluster (its n^2/2 = 7k+ pairs are cut)...
+    assert not any(i < n_hot for i in ids), sorted(ids)[:5]
+    # ...but the cold near-dup pair is still found
+    assert {(r.doc_id_a, r.doc_id_b) for r in mh} == {(n_hot, n_hot + 1)}
+
+    sh = dedup.simhash_pairs(docs).collect()
+    assert not any(
+        r.doc_id_a < n_hot or r.doc_id_b < n_hot for r in sh
+    ), sh[:5]
+
+
 def test_ivf_assignment_plan_is_shuffle_free(spark):
     """IVF cell assignment is per-row expression math against literal
     centroids — the physical plan must contain no Exchange (the old

@@ -35,23 +35,30 @@ a final window aggregation merges per-bucket partials into the global
 top-k (the reference's ``aggregate_result`` merge, ``src/lib.rs:190-226``,
 which Catalyst plans as partial/final automatically).
 
-Data access: ONE partition-pruned scan of the unified index table feeds
-the per-bucket kernel — term rows filtered to the query vocabulary by an
-int64 ``term_hash`` predicate (parquet-stats friendly), doc rows
-(doc_idx, dl) riding the same scan. Everything flows through Spark's
-data source (locality, pushdown); there is no executor-side filesystem
-side-channel. The per-query-batch cost of shipping each bucket's dl
-array is amortized over the whole query batch — batch serving scores
-thousands of queries against one shipment. Inside the kernel, postings
-are matched by the full term STRING (carried in the segment rows), so a
-60-bit hash collision between a query term and another term in the
-bucket cannot mis-score; the hash is only a pushdown filter.
+Data access: the per-bucket kernel's grouped input is the union of
+three relations — term rows (ONE parquet scan filtered to the query
+vocabulary by an int64 ``term_hash`` predicate, parquet-stats
+friendly), doc rows (doc_idx, dl) from the per-index serving cache
+(persisted DataFrame -> block manager, no per-call filesystem read),
+and the plan-tokenized (query_id, term, qtf, idf) relation fanned out
+to every bucket as kind=2 rows. Everything flows through Spark's data
+source / block manager (locality, pushdown); there is no executor-side
+filesystem side-channel and no driver-side tokenization. The
+per-query-batch cost of shipping each bucket's dl array is amortized
+over the whole query batch — batch serving scores thousands of queries
+against one shipment. Inside the kernel, postings are matched by the
+full term STRING (carried in the segment rows), so a 60-bit hash
+collision between a query term and another term in the bucket cannot
+mis-score; the hash is only a pushdown filter.
 """
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pandas as pd
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
@@ -63,10 +70,10 @@ from pyspark.sql.types import (
     StructType,
 )
 
-from ..functions.tokenize import query_tokens_py
+from ..functions.tokenize import query_tokens_col
 from .scoring import TOP_K
 from ..index.codec import BlockMeta, bm25_norm, decode_blocks, decode_postings
-from ..index.segments import load_stats, read_docmeta, read_index
+from ..index.segments import load_stats, read_index, read_termstats
 
 
 def maxscore_topk(
@@ -138,11 +145,78 @@ def maxscore_topk(
     return [(int(pool[i]), float(scores[i])) for i in top]
 
 
+# --- per-index serving state (cached across wand_topk calls) --------------
+#
+# Doc rows (bucket, doc_idx, dl, url) and termstats (term, term_hash, idf)
+# are immutable once an index is committed (stats.json is written last),
+# so serving caches them as persisted DataFrames: single-query latency no
+# longer re-reads the kind=0 half of the index or the termstats parquet
+# per call — both come from the block manager (InMemoryTableScan,
+# plan-asserted in tests/test_segments_wand.py). The cache key folds in
+# stats.json's (mtime, size) fingerprint so a rebuilt index at the same
+# path is never reused stale, and entries are evicted LRU-ish at
+# _SERVE_CACHE_MAX to keep long test sessions bounded.
+
+_SERVE_CACHE: dict[tuple, dict] = {}
+_SERVE_CACHE_MAX = 8
+
+
+def _index_fingerprint(index_dir: str) -> tuple:
+    st = os.stat(os.path.join(index_dir, "stats.json"))
+    return (os.path.realpath(index_dir), st.st_mtime_ns, st.st_size)
+
+
+def _serving_state(spark: SparkSession, index_dir: str) -> dict:
+    key = (_index_fingerprint(index_dir), spark.sparkContext.applicationId)
+    state = _SERVE_CACHE.get(key)
+    if state is not None:
+        return state
+    # a rebuilt index at the same path gets a new fingerprint: drop any
+    # stale entry for the same resolved path first
+    for k in [k for k in _SERVE_CACHE if k[0][0] == key[0][0]]:
+        _evict(k)
+    while len(_SERVE_CACHE) >= _SERVE_CACHE_MAX:
+        _evict(next(iter(_SERVE_CACHE)))
+    stats = load_stats(index_dir)
+    docs = (
+        read_index(spark, index_dir)
+        .filter(F.col("kind") == 0)
+        .select("bucket", "doc_idx", "dl", "url")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    ts = (
+        read_termstats(spark, index_dir)
+        .select("term", "term_hash", "idf")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    docs.count()
+    # Vocabulary hash set, collected ONCE per index (amortized over all
+    # queries): the driver-side membership test that (a) early-exits
+    # all-OOV queries without launching the main job and (b) shrinks
+    # the isin pushdown literals to terms actually present. At web
+    # scale (10^8-term lexicon) this set becomes a Bloom filter — the
+    # standard lexicon-side-car — with identical serving semantics
+    # (false positives only cost a harmless extra literal).
+    vocab = frozenset(r.term_hash for r in ts.select("term_hash").collect())
+    state = {"stats": stats, "docs": docs, "ts": ts, "vocab": vocab}
+    _SERVE_CACHE[key] = state
+    return state
+
+
+def _evict(key: tuple) -> None:
+    state = _SERVE_CACHE.pop(key, None)
+    if state is not None:
+        for df in (state["docs"], state["ts"]):
+            try:
+                df.unpersist()
+            except Exception:
+                pass
+
+
 CANDIDATE_SCHEMA = StructType(
     [
         StructField("query_id", StringType(), False),
-        StructField("bucket", IntegerType(), False),
-        StructField("doc_idx", LongType(), False),
+        StructField("url", StringType(), False),
         StructField("score", DoubleType(), False),
     ]
 )
@@ -156,71 +230,147 @@ def wand_topk(
 ) -> DataFrame:
     """(query_id, rank, url, score) — block-max MaxScore over segments.
 
-    Plan: one unified index scan (term rows pruned to the query
-    vocabulary via an int64 predicate pushed to parquet; doc rows ride
-    along) -> applyInPandas per bucket (local top-k) -> broadcast-join
-    candidates to docmeta for url resolution -> window for the global
-    top-k merge.
+    Plan: queries are tokenized IN the plan (``query_tokens_col`` —
+    no driver-side collect of the query batch, so a 10^5-query batch
+    tokenizes across executors) and joined to the cached termstats for
+    (qtf, idf, term_hash); the only driver round-trip is the distinct
+    term_hash list, which becomes the int64 pushdown predicate on the
+    term-row parquet scan (the query *vocabulary*, bounded by the
+    lexicon, not the batch size). Doc rows (dl) come from the per-index
+    serving cache (block manager, not the filesystem). The (query_id,
+    term, qtf, idf) relation fans out to every bucket as kind=2 rows of
+    the kernel's grouped input -> applyInPandas per bucket (local
+    top-k, urls resolved in-kernel from the doc rows already in the
+    group) -> window for the global top-k merge. No post-kernel join:
+    the candidate relation is already (query_id, url, score).
+
+    The term_hash is ONLY a pushdown filter — the kernel matches
+    postings by the full term string, so a 60-bit collision between a
+    query term and another term in the bucket cannot mis-score.
     """
-    stats = load_stats(index_dir)
+    state = _serving_state(spark, index_dir)
+    stats = state["stats"]
     avgdl, k1, b = stats["avgdl"], stats["k1"], stats["b"]
 
-    qrows = queries.select("query_id", "query_string").collect()
-    query_terms: dict[str, dict[str, int]] = {}
-    for r in qrows:
-        toks = query_tokens_py(r.query_string)
-        qt: dict[str, int] = {}
-        for t in toks:
-            qt[t] = qt.get(t, 0) + 1
-        query_terms[r.query_id] = qt
-    all_terms = sorted({t for qt in query_terms.values() for t in qt})
-    if not all_terms:
-        return _empty_result(spark)
+    # Pre-job: ONE narrow stage (explode + md5 over the query batch, no
+    # join/shuffle/broadcast) collects the token hashes; dedupe and
+    # intersect with the cached vocabulary set driver-side. All-OOV
+    # queries return here without launching the main job.
+    from ..pipeline.common import hash60_col
 
-    ts = (
-        spark.read.parquet(f"{index_dir}/termstats")
-        .filter(F.col("term").isin(all_terms))
+    tok_hashes = (
+        queries.select(
+            F.explode(query_tokens_col(F.col("query_string"))).alias("t")
+        )
+        .select(hash60_col(F.col("t")).alias("h"))
         .collect()
     )
-    idf = {r.term: r.idf for r in ts}
-    # Segments are keyed by the term's 60-bit md5-derived hash; termstats
-    # carries the (term, term_hash) mapping for exactly the query
-    # vocabulary, so the scan prunes on an int64 predicate (parquet stats
-    # friendly). The hash is ONLY a filter — the kernel matches postings
-    # by the full term string, so collisions cannot mis-score.
-    term_hash = {r.term: r.term_hash for r in ts}
-    bc = spark.sparkContext.broadcast(
-        {"query_terms": query_terms, "idf": idf,
-         "avgdl": avgdl, "k1": k1, "b": b, "k": k}
+    hashes = sorted({r.h for r in tok_hashes} & state["vocab"])
+    if not hashes:
+        return _empty_result(spark)
+
+    # (query_id, term, qtf, idf): qtf computed with array expressions
+    # (distinct terms x in-array count) instead of a groupBy — no
+    # Exchange; the per-term re-scan of the token array is O(L^2) on a
+    # ~10-token query string, i.e. free. idf comes from the cached
+    # termstats relation; the join stays in the plan (executor-side),
+    # so a 10^5-query batch never funnels through the driver.
+    toks = query_tokens_col(F.col("query_string"))
+    qtok = queries.select(
+        "query_id",
+        F.explode(
+            F.transform(
+                F.array_distinct(toks),
+                lambda t: F.struct(
+                    t.alias("term"),
+                    F.size(F.filter(toks, lambda x: x == t))
+                    .cast("long")
+                    .alias("qtf"),
+                ),
+            )
+        ).alias("tq"),
+    ).select(
+        "query_id",
+        F.col("tq.term").alias("term"),
+        F.col("tq.qtf").alias("qtf"),
+    )
+    # the cached termstats relation is pre-filtered to the (tiny) query
+    # vocabulary by the int64 hash list before the join, so the
+    # broadcast build ships a handful of rows, not the lexicon
+    ts_small = state["ts"].filter(F.col("term_hash").isin(hashes))
+    qrel = qtok.join(F.broadcast(ts_small), "term").select(
+        "query_id", "term", "qtf", "idf"
     )
 
-    scan = (
-        read_index(spark, index_dir)
-        .filter(
-            (F.col("kind") == 0)
-            | (
-                (F.col("kind") == 1)
-                & F.col("term_hash").isin(list(term_hash.values()))
-            )
-        )
-        .select("bucket", "kind", "doc_idx", "dl", "term", "postings", "blockmeta")
+    bc = spark.sparkContext.broadcast(
+        {"avgdl": avgdl, "k1": k1, "b": b, "k": k}
     )
+
+    # fan the query relation out to every bucket by exploding a literal
+    # bucket array — no join, no broadcast build (n_buckets is a build
+    # constant from stats.json)
+    n_buckets = int(stats["n_buckets"])
+    _null = lambda t: F.lit(None).cast(t)  # noqa: E731
+    qk = qrel.select(
+        "*",
+        F.explode(
+            F.array(*[F.lit(i).cast("int") for i in range(n_buckets)])
+        ).alias("bucket"),
+    ).select(
+        "bucket",
+        F.lit(2).alias("kind"),
+        _null("long").alias("doc_idx"),
+        _null("long").alias("dl"),
+        "term",
+        _null("binary").alias("postings"),
+        _null("binary").alias("blockmeta"),
+        "query_id",
+        "qtf",
+        "idf",
+        _null("string").alias("url"),
+    )
+    term_rows = (
+        read_index(spark, index_dir)
+        .filter((F.col("kind") == 1) & F.col("term_hash").isin(hashes))
+        .select(
+            "bucket", "kind", "doc_idx", "dl", "term", "postings", "blockmeta",
+            _null("string").alias("query_id"),
+            _null("long").alias("qtf"),
+            _null("double").alias("idf"),
+            _null("string").alias("url"),
+        )
+    )
+    doc_rows = state["docs"].select(
+        "bucket",
+        F.lit(0).alias("kind"),
+        "doc_idx",
+        "dl",
+        _null("string").alias("term"),
+        _null("binary").alias("postings"),
+        _null("binary").alias("blockmeta"),
+        _null("string").alias("query_id"),
+        _null("long").alias("qtf"),
+        _null("double").alias("idf"),
+        "url",
+    )
+    scan = term_rows.unionByName(doc_rows).unionByName(qk)
 
     def run_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
         cfg = bc.value
-        bucket = int(pdf["bucket"].iloc[0])
         kinds = pdf["kind"].to_numpy()
         docs = pdf[kinds == 0]
         terms_pdf = pdf[kinds == 1]
+        qt_pdf = pdf[kinds == 2]
         n_docs = len(docs)
-        if n_docs == 0 or len(terms_pdf) == 0:
+        if n_docs == 0 or len(terms_pdf) == 0 or len(qt_pdf) == 0:
             return pd.DataFrame(
-                columns=["query_id", "bucket", "doc_idx", "score"]
-            ).astype({"bucket": "int32", "doc_idx": "int64", "score": "float64"})
+                columns=["query_id", "url", "score"]
+            ).astype({"score": "float64"})
+        doc_pos = docs["doc_idx"].to_numpy(dtype=np.int64)
         dls = np.zeros(n_docs, dtype=np.int64)
-        dls[docs["doc_idx"].to_numpy(dtype=np.int64)] = docs["dl"].to_numpy(
-            dtype=np.int64
-        )
+        dls[doc_pos] = docs["dl"].to_numpy(dtype=np.int64)
+        urls = np.empty(n_docs, dtype=object)
+        urls[doc_pos] = docs["url"].to_numpy(dtype=object)
         by_term = {
             t: (p, m)
             for t, p, m in zip(
@@ -228,35 +378,30 @@ def wand_topk(
             )
         }
         rows = []
-        for qid, qt in cfg["query_terms"].items():
+        for qid, grp in qt_pdf.groupby("query_id", sort=False):
             entries = [
                 {
                     "postings": by_term[t][0],
                     "blockmeta": by_term[t][1],
-                    "idf": cfg["idf"][t],
-                    "qtf": n,
+                    "idf": float(w),
+                    "qtf": int(n),
                 }
-                for t, n in qt.items()
-                if t in by_term and t in cfg["idf"]
+                for t, n, w in zip(grp["term"], grp["qtf"], grp["idf"])
+                if t in by_term
             ]
             for doc_idx, score in maxscore_topk(
                 entries, dls, cfg["avgdl"], cfg["k"], cfg["k1"], cfg["b"]
             ):
-                rows.append((qid, bucket, doc_idx, score))
-        return pd.DataFrame(
-            rows, columns=["query_id", "bucket", "doc_idx", "score"]
-        )
+                rows.append((qid, urls[doc_idx], score))
+        return pd.DataFrame(rows, columns=["query_id", "url", "score"])
 
     candidates = scan.groupBy("bucket").applyInPandas(
         run_bucket, schema=CANDIDATE_SCHEMA
     )
 
-    docmeta = read_docmeta(spark, index_dir).select("bucket", "doc_idx", "url")
-    resolved = F.broadcast(candidates).join(docmeta, ["bucket", "doc_idx"])
-
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("url"))
     return (
-        resolved.withColumn("rank", F.row_number().over(w))
+        candidates.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "url", "score")
     )

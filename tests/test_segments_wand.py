@@ -206,28 +206,61 @@ def test_pfor_build_same_results_smaller_index(spark, tmp_path, index_dir):
     assert seg_bytes(d) < seg_bytes(index_dir)
 
 
-def test_wand_scan_pushes_term_filter_to_parquet(spark, index_dir):
-    """The serving scan's term_hash predicate must reach the parquet
-    reader (PushedFilters), and the unified scan must read only the
-    columns the kernel needs — plan-quality guards for the 100 TB case
-    where an unpruned scan is the difference between reading gigabytes
-    and reading everything."""
-    from pyspark.sql import functions as SF
+def test_wand_serving_plan_cached_docs_and_pushdown(spark, index_dir):
+    """Plan-quality guards for serving (100 TB case):
 
-    from search_engine_spark.index.segments import read_index
-
-    scan = (
-        read_index(spark, index_dir)
-        .filter(
-            (SF.col("kind") == 0)
-            | ((SF.col("kind") == 1) & SF.col("term_hash").isin([123, 456]))
-        )
-        .select("bucket", "kind", "doc_idx", "dl", "term", "postings", "blockmeta")
-    )
-    plan = scan._jdf.queryExecution().executedPlan().toString()
+    - exactly ONE parquet file scan in the whole serving plan — the
+      term rows. Doc rows, docmeta, and termstats come from the
+      per-index cache (InMemoryTableScan), so single-query latency
+      never re-reads them from the filesystem.
+    - the term_hash predicate reaches the parquet reader
+      (PushedFilters) and the scan's ReadSchema excludes url /
+      encode_secs (column pruning).
+    """
+    queries = corpus.reference_queries_df(spark)
+    out = wand_topk(spark, index_dir, queries)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # every InMemoryRelation node prints its (non-executed) originating
+    # FileScan child; live scans = total FileScans minus those.
+    n_live_scans = plan.count("FileScan") - plan.count("InMemoryRelation")
+    assert n_live_scans == 1, plan
+    assert "InMemoryTableScan" in plan, plan
     assert "PushedFilters" in plan, plan
     assert "term_hash" in plan.split("PushedFilters")[1][:400], plan
-    # column pruning: url and encode_secs are not in the read schema
-    read_schema = plan.split("ReadSchema")[1][:500] if "ReadSchema" in plan else plan
-    assert "url" not in read_schema
-    assert "encode_secs" not in read_schema
+    # the term-row scan (the one live FileScan, identified by its
+    # term_hash filter) must exclude url/encode_secs via column pruning;
+    # the docs-cache node legitimately carries url, so scope the check
+    # to that single FileScan line.
+    term_scan_lines = [
+        ln
+        for ln in plan.splitlines()
+        if "FileScan parquet" in ln and "term_hash" in ln
+    ]
+    assert term_scan_lines, plan
+    for ln in term_scan_lines:
+        assert "url" not in ln, ln
+        assert "encode_secs" not in ln, ln
+
+
+def test_wand_large_query_batch_no_driver_tokenization(spark, index_dir):
+    """A 10^4-row query batch is tokenized in the plan (executor-side
+    query_tokens_col + broadcast join to cached termstats) — wand_topk
+    never collects the queries DataFrame. Repeated instances of the
+    same base query must return identical rankings."""
+    base = corpus.REFERENCE_QUERIES
+    big = spark.range(10_000).select(
+        F.concat(F.lit("q"), F.col("id")).alias("query_id"),
+        F.element_at(
+            F.array(*[F.lit(q) for q in base]),
+            (F.col("id") % len(base)).cast("int") + 1,
+        ).alias("query_string"),
+    )
+    res = wand_topk(spark, index_dir, big, k=3).collect()
+    by_qid: dict[str, list] = {}
+    for r in res:
+        by_qid.setdefault(r.query_id, []).append((r.rank, r.url, r.score))
+    assert len(by_qid) > 9_000  # nearly every query produced results
+    # two different instances of base query 0 rank identically
+    a = sorted(by_qid["q0"])
+    b = sorted(by_qid[f"q{len(base)}"])
+    assert a == b and len(a) == 3

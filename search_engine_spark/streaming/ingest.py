@@ -26,11 +26,46 @@ checkpoint + the builder's idempotent lineage commits.
 from __future__ import annotations
 
 import json
+import os
 from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
 
 from ..index.segments import build_segments
+
+MANIFEST = "generations.json"
+
+
+def _gen_key(name: str) -> tuple[int, int]:
+    """Sort/identity key for a generation dir name.
+
+    ``gen=<batch_id>`` -> (batch_id, 0); a compacted generation
+    ``gen=<batch_id>.c<epoch>`` -> (batch_id, epoch). Epochs order
+    successive compactions of the same max batch id.
+    """
+    body = name.split("=", 1)[1]
+    if ".c" in body:
+        base, epoch = body.split(".c", 1)
+        return (int(base), int(epoch))
+    return (int(body), 0)
+
+
+def _read_manifest(out_dir: str) -> dict | None:
+    p = Path(out_dir) / MANIFEST
+    if not p.exists():
+        return None
+    return json.loads(p.read_text())
+
+
+def _write_manifest(out_dir: str, manifest: dict) -> None:
+    """Atomic manifest flip: write-to-tmp + ``os.replace`` (POSIX rename
+    atomicity) — readers resolve through the manifest, so visibility of
+    a compaction is a single atomic pointer swap, never a partial
+    directory state."""
+    p = Path(out_dir) / MANIFEST
+    tmp = p.with_suffix(".json.tmp")
+    tmp.write_text(json.dumps(manifest))
+    os.replace(tmp, p)
 
 
 def index_stream(
@@ -76,15 +111,35 @@ def list_generations(out_dir: str) -> list[str]:
     termstats write — so a generation listed here is never a partial
     index from a crashed micro-batch (the batch retry resumes and only
     then writes stats.json).
+
+    When a compaction manifest (``generations.json``) exists, readers
+    resolve through it: the manifest's active list replaces every
+    generation with batch id <= its ``covers_up_to`` watermark, while
+    newer streaming generations (appended after the compaction) are
+    discovered by glob as before. The manifest is flipped atomically
+    (:func:`_write_manifest`), so a concurrent :func:`compact_generations`
+    is never observed as zero or partial generations — a reader sees
+    either the old set or the new compacted set, in full.
     """
     base = Path(out_dir)
     if not base.exists():
         return []
-    gens = []
-    for d in sorted(base.glob("gen=*"), key=lambda p: int(p.name.split("=")[1])):
-        if (d / "stats.json").exists():
-            gens.append(str(d))
-    return gens
+    complete = {
+        d.name: str(d)
+        for d in base.glob("gen=*")
+        if (d / "stats.json").exists()
+    }
+    manifest = _read_manifest(out_dir)
+    # Compacted generations (epoch > 0) are visible ONLY through the
+    # manifest: between the rename and the manifest flip the new dir is
+    # complete on disk, and glob-discovering it would double-count its
+    # source generations' documents.
+    names = [n for n in complete if _gen_key(n)[1] == 0]
+    if manifest is not None:
+        covers = int(manifest["covers_up_to"])
+        names = [n for n in names if _gen_key(n)[0] > covers]
+        names += [n for n in manifest["active"] if n in complete]
+    return [complete[n] for n in sorted(set(names), key=_gen_key)]
 
 
 def generation_stats(out_dir: str) -> dict:
@@ -105,6 +160,8 @@ def compact_generations(
     spark: SparkSession,
     out_dir: str,
     n_buckets: int = 16,
+    pfor: bool | None = None,
+    expire: bool = True,
 ) -> str | None:
     """Merge all complete generations into ONE, restoring globally
     consistent BM25 stats (N, avgdl, idf over the union) — the remedy
@@ -115,17 +172,24 @@ def compact_generations(
     ``(url, term, tf, dl)`` relation (``read_postings_relation``) and
     re-encoded by ``build_segments_from_postings`` — compaction moves
     compressed-postings-sized data, exactly like a Lucene segment merge.
-    The compacted index is built into a temp dir first, then swapped in
-    under the highest existing batch id (streaming batch ids only grow,
-    so the next micro-batch cannot collide). The swap (delete old gens,
-    rename tmp) is not atomic across directories; a production deploy
-    would gate readers on a manifest — documented trade-off.
+    ``pfor=None`` inherits the newest source generation's recorded codec
+    choice (layout.json), so compacting a PFor index stays PFor.
+
+    Swap protocol (Iceberg-style snapshot semantics): the compacted
+    index is built into a hidden temp dir, renamed to a FRESH name
+    ``gen=<max_id>.c<epoch>`` (never colliding with a live reader's
+    paths), and made visible by atomically flipping the
+    ``generations.json`` manifest that :func:`list_generations` resolves
+    through. Readers therefore observe either the full old set or the
+    full new set — never zero, never partial. The absorbed generations
+    are physically deleted only by :func:`expire_generations` (snapshot
+    expiry); ``expire=True`` runs it inline, which is safe when no
+    queries are in flight — a serving deploy passes ``expire=False`` and
+    expires after draining.
 
     Returns the compacted generation directory (or the single existing
     one if there is nothing to merge).
     """
-    import shutil
-
     from ..index.segments import (
         build_segments_from_postings,
         read_postings_relation,
@@ -136,21 +200,58 @@ def compact_generations(
         return None
     if len(gens) == 1:
         return gens[0]
+    if pfor is None:
+        layout = json.loads((Path(gens[-1]) / "layout.json").read_text())
+        pfor = bool(layout.get("pfor", False))
     union = read_postings_relation(spark, gens[0])
     for g in gens[1:]:
         union = union.unionByName(read_postings_relation(spark, g))
-    max_id = max(int(Path(g).name.split("=")[1]) for g in gens)
-    tmp = Path(out_dir) / ".compact-tmp"
-    shutil.rmtree(tmp, ignore_errors=True)
+    keys = [_gen_key(Path(g).name) for g in gens]
+    max_id = max(k[0] for k in keys)
+    epoch = 1 + max(k[1] for k in keys)
+    dest = Path(out_dir) / f"gen={max_id}.c{epoch}"
+    tmp = Path(out_dir) / f".compact-{max_id}-{epoch}-tmp"
     build_segments_from_postings(
         spark, union, str(tmp), n_buckets=n_buckets,
-        run_id=f"compact-{max_id}",
+        run_id=f"compact-{max_id}-{epoch}", pfor=pfor,
     )
-    for g in gens:
-        shutil.rmtree(g)
-    dest = Path(out_dir) / f"gen={max_id}"
     tmp.rename(dest)
+    _write_manifest(
+        out_dir, {"active": [dest.name], "covers_up_to": max_id}
+    )
+    if expire:
+        expire_generations(out_dir)
     return str(dest)
+
+
+def expire_generations(out_dir: str) -> list[str]:
+    """Delete generation directories no longer reachable through
+    :func:`list_generations` (plus abandoned compaction temp dirs) —
+    the snapshot-expiry half of the compaction swap. Run it after
+    in-flight queries against the old generation set have drained; the
+    manifest flip in :func:`compact_generations` already made the old
+    set invisible to new readers.
+    """
+    import shutil
+
+    base = Path(out_dir)
+    manifest = _read_manifest(out_dir)
+    if not base.exists() or manifest is None:
+        return []
+    covers = int(manifest["covers_up_to"])
+    active = set(manifest["active"])
+    removed = []
+    for d in base.glob("gen=*"):
+        # only generations at or below the compaction watermark are
+        # expirable — anything newer may be a mid-build micro-batch
+        # (no stats.json yet) and must survive
+        if d.name not in active and _gen_key(d.name)[0] <= covers:
+            shutil.rmtree(d, ignore_errors=True)
+            removed.append(str(d))
+    for d in base.glob(".compact-*-tmp"):
+        shutil.rmtree(d, ignore_errors=True)
+        removed.append(str(d))
+    return removed
 
 
 def query_generations(

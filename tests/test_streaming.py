@@ -178,7 +178,7 @@ def test_compaction_equals_batch_index(spark, tmp_path):
 
     dest = compact_generations(spark, str(out), n_buckets=4)
     gens = list_generations(str(out))
-    assert gens == [dest] and dest.endswith("gen=1")
+    assert gens == [dest] and dest.endswith("gen=1.c1")
     cstats = load_stats(dest)
     fstats = load_stats(str(full))
     assert cstats["n_docs"] == fstats["n_docs"] == 100
@@ -208,3 +208,104 @@ def test_preview_results(spark):
     assert rows[1].preview == "only line"
     doc = get_document(pages, "u2").collect()
     assert len(doc) == 1 and doc[0].text == "only line"
+
+
+def test_compaction_swap_is_atomic_for_readers(spark, tmp_path):
+    """A reader polling list_generations/query_generations concurrently
+    with compact_generations never observes zero or partial generations:
+    the manifest flip is the single atomic visibility point, absorbed
+    generations stay on disk until expire_generations (VERDICT r2 #5 /
+    ADVICE: shrink the non-atomic swap window to nothing)."""
+    import threading
+
+    from search_engine_spark.index.segments import build_segments
+    from search_engine_spark.streaming.ingest import (
+        compact_generations,
+        expire_generations,
+    )
+
+    rows = corpus.reference_pages_rows()
+    out = tmp_path / "gens"
+
+    def df(rs):
+        return spark.createDataFrame(rs, corpus.PAGES_SCHEMA)
+
+    build_segments(spark, df(rows[:40]), str(out / "gen=0"), n_buckets=2, run_id="g0")
+    build_segments(spark, df(rows[40:80]), str(out / "gen=1"), n_buckets=2, run_id="g1")
+    build_segments(spark, df(rows[80:]), str(out / "gen=2"), n_buckets=2, run_id="g2")
+
+    observed: list[tuple] = []
+    stop = threading.Event()
+
+    def poller():
+        while not stop.is_set():
+            gens = list_generations(str(out))
+            observed.append(tuple(Path(g).name for g in gens))
+
+    t = threading.Thread(target=poller)
+    t.start()
+    try:
+        dest = compact_generations(spark, str(out), n_buckets=4, expire=False)
+    finally:
+        stop.set()
+        t.join()
+    assert len(observed) > 50  # the poller really raced the swap
+    old = ("gen=0", "gen=1", "gen=2")
+    new = ("gen=2.c1",)
+    assert set(observed) <= {old, new}, set(observed)
+    assert observed[-1] == new
+
+    # expire=False left every absorbed generation on disk for in-flight
+    # readers; queries through the new manifest are already exact
+    for name in old:
+        assert (out / name / "stats.json").exists()
+    queries = corpus.reference_queries_df(spark)
+    got = query_generations(spark, str(out), queries, k=5).collect()
+    assert len(got) > 0
+
+    removed = expire_generations(str(out))
+    assert {Path(r).name for r in removed} == set(old)
+    assert list_generations(str(out)) == [dest]
+    # idempotent; the active generation survives
+    assert expire_generations(str(out)) == []
+    assert (Path(dest) / "stats.json").exists()
+
+
+def test_compaction_inherits_pfor_codec(spark, tmp_path):
+    """Compacting a PFor index stays PFor (pfor=None inherits the
+    newest generation's recorded layout) — the r2 hygiene finding that
+    build_segments_from_postings silently re-encoded as varint."""
+    from search_engine_spark.index.segments import build_segments
+    from search_engine_spark.streaming.ingest import compact_generations
+
+    rows = corpus.reference_pages_rows()
+    out = tmp_path / "gens"
+
+    def df(rs):
+        return spark.createDataFrame(rs, corpus.PAGES_SCHEMA)
+
+    build_segments(
+        spark, df(rows[:50]), str(out / "gen=0"), n_buckets=2,
+        run_id="g0", pfor=True,
+    )
+    build_segments(
+        spark, df(rows[50:]), str(out / "gen=1"), n_buckets=2,
+        run_id="g1", pfor=True,
+    )
+    dest = compact_generations(spark, str(out), n_buckets=2)
+    layout = json.loads((Path(dest) / "layout.json").read_text())
+    assert layout["pfor"] is True
+    # and the compacted index actually contains PFor-flagged blocks
+    from search_engine_spark.index.codec import BlockMeta
+
+    metas = (
+        spark.read.parquet(str(Path(dest) / "index"))
+        .filter("kind = 1")
+        .select("blockmeta")
+        .collect()
+    )
+    assert any(
+        BlockMeta(r.blockmeta).docid_codec.any()
+        or BlockMeta(r.blockmeta).tf_codec.any()
+        for r in metas
+    )

@@ -374,11 +374,14 @@ def encode_postings_batch(
 
     ``doc_idx``/``tfs``/``dls`` are the concatenated per-term arrays
     (term-major, docids strictly increasing within each term);
-    ``starts``/``ends`` give each term's slice. Byte-identical to calling
-    :func:`encode_postings` per term (asserted in tests), but the varint
-    encode, delta encode, block splitting, and block-max reductions each
-    run ONCE over the whole batch — the per-term Python work collapses to
-    buffer slicing. This is what makes the index build's docs/sec scale:
+    ``starts``/``ends`` give each term's slice. With ``pfor=False`` the
+    output is byte-identical to calling :func:`encode_postings` per term
+    (asserted in tests); with ``pfor=True`` :func:`encode_postings`
+    delegates HERE, and the single-block reference encoder
+    (:func:`pfor_encode_block`) is only decode-compatible, not
+    byte-identical (see its docstring). The varint encode, delta encode,
+    block splitting, and block-max reductions each run ONCE over the
+    whole batch — the per-term Python work collapses to buffer slicing. This is what makes the index build's docs/sec scale:
     the encode stage's cost per posting is a few vectorized numpy passes,
     not per-term function calls.
     """
@@ -391,6 +394,14 @@ def encode_postings_batch(
     n_terms = len(starts)
     if n_terms == 0:
         return []
+    if pfor and block_size > 0xFFFF:
+        # the PFor block header stores the value count in a u16
+        # (pfor_encode_block enforces the same bound); without this guard
+        # a larger block_size silently truncates n and decodes garbage
+        raise ValueError(
+            f"pfor=True requires block_size <= 65535 (u16 header), "
+            f"got {block_size}"
+        )
 
     # Delta-encode all terms at once: gaps = diff, then reset each term's
     # first gap to docid + 1.
@@ -549,17 +560,90 @@ class BlockMeta:
 
 
 def _decode_stream(mv, offs, codec) -> np.ndarray:
-    """Decode one stream (all blocks) honoring per-block codec flags."""
+    """Decode one stream (all blocks) honoring per-block codec flags.
+
+    Mixed-codec streams decode in THREE batched passes, mirroring how
+    ``_pfor_stream`` encodes: (1) all varint blocks' bytes gathered and
+    LEB128-decoded in one call, (2) all PFor blocks' packed low bits
+    unpacked via one global ``np.unpackbits`` + per-bit-plane gather,
+    (3) all exception varints decoded in one call and patched with one
+    scatter. No per-block Python loop — decode cost per posting is a
+    few vectorized numpy passes regardless of how many blocks chose
+    PFor (property-tested equal to the per-block reference decode in
+    ``tests/test_codec.py``).
+    """
     if not codec.any():
         return varint_decode(mv[: int(offs[-1])])
-    parts = []
-    for bi in range(len(codec)):
-        chunk = mv[int(offs[bi]) : int(offs[bi + 1])]
-        if codec[bi] == 0:
-            parts.append(varint_decode(chunk))
-        else:
-            parts.append(pfor_decode_block(chunk))
-    return np.concatenate(parts) if parts else np.empty(0, dtype=np.uint64)
+    a = np.frombuffer(mv, dtype=np.uint8)[: int(offs[-1])]
+    offs64 = np.asarray(offs, dtype=np.int64)
+    starts, ends_ = offs64[:-1], offs64[1:]
+    nb = len(codec)
+    is_pf = np.asarray(codec, dtype=np.uint8) != 0
+
+    # Per-block value counts: PFor headers carry n (u16); varint block
+    # counts = number of terminator bytes (high bit clear) in the range.
+    counts = np.zeros(nb, dtype=np.int64)
+    pf = np.flatnonzero(is_pf)
+    vi = np.flatnonzero(~is_pf)
+    if len(pf):
+        counts[pf] = a[starts[pf] + 2].astype(np.int64) | (
+            a[starts[pf] + 3].astype(np.int64) << 8
+        )
+    vi_lens = ends_[vi] - starts[vi]
+    vi_byte_idx = _range_indices(starts[vi], vi_lens)
+    if len(vi):
+        term_mask = (a & 0x80) == 0
+        bounds = np.concatenate(([0], np.cumsum(vi_lens)))[:-1]
+        counts[vi] = np.add.reduceat(
+            term_mask[vi_byte_idx].astype(np.int64), bounds
+        ) if len(vi_byte_idx) else 0
+
+    voff = np.zeros(nb + 1, dtype=np.int64)
+    np.cumsum(counts, out=voff[1:])
+    out = np.zeros(int(voff[-1]), dtype=np.uint64)
+
+    # (1) varint blocks: one gathered decode, one scattered placement
+    if len(vi):
+        vvals = varint_decode(a[vi_byte_idx].tobytes())
+        out[_range_indices(voff[vi], counts[vi])] = vvals
+
+    # (2) PFor blocks: one global unpackbits over the gathered packed
+    # regions, then one gather per bit plane (max_w passes)
+    if len(pf):
+        w = a[starts[pf]].astype(np.int64)
+        nexc = a[starts[pf] + 1].astype(np.int64)
+        n_b = counts[pf]
+        packed_len = (n_b * w + 7) // 8
+        packed_bytes = a[_range_indices(starts[pf] + PFOR_HEADER, packed_len)]
+        bits = np.unpackbits(packed_bytes, bitorder="little")
+        bit_off = np.zeros(len(pf) + 1, dtype=np.int64)
+        np.cumsum(packed_len * 8, out=bit_off[1:])
+        total_pf = int(n_b.sum())
+        n_cum = np.concatenate(([0], np.cumsum(n_b)))[:-1]
+        vblock = np.repeat(np.arange(len(pf)), n_b)
+        pos_in_b = np.arange(total_pf, dtype=np.int64) - np.repeat(n_cum, n_b)
+        w_v = w[vblock]
+        base = bit_off[vblock] + pos_in_b * w_v
+        pvals = np.zeros(total_pf, dtype=np.uint64)
+        for j in range(int(w.max()) if len(w) else 0):
+            m = w_v > j
+            if not m.any():
+                continue
+            pvals[m] |= bits[base[m] + j].astype(np.uint64) << np.uint64(j)
+
+        # (3) exceptions: one gathered varint decode, one scatter patch
+        if nexc.any():
+            exc_start = starts[pf] + PFOR_HEADER + packed_len
+            exc_bytes = a[_range_indices(exc_start, ends_[pf] - exc_start)]
+            exc = varint_decode(exc_bytes.tobytes())
+            pair_block = np.repeat(np.arange(len(pf)), nexc)
+            pos = exc[0::2].astype(np.int64)
+            high = exc[1::2]
+            gidx = n_cum[pair_block] + pos
+            pvals[gidx] |= high << w[pair_block].astype(np.uint64)
+
+        out[_range_indices(voff[pf], n_b)] = pvals
+    return out
 
 
 def decode_postings(
@@ -635,9 +719,14 @@ def pfor_encode_block(vals: np.ndarray) -> bytes:
     [exceptions: varint (position, high_bits) pairs]. The width is
     chosen by exact cost minimization over all candidate widths (the
     per-block "cheapest" rule; exceptions patch values wider than the
-    frame). Single-block reference encoder — the batch path in
-    :func:`encode_postings_batch` produces byte-identical blocks
-    (property-tested).
+    frame). Single-block reference encoder. The batch path in
+    :func:`encode_postings_batch` trades the exhaustive width search for
+    a two-candidate one ({7/8-quantile, max} — ``_pfor_stream``), so its
+    blocks are DECODE-compatible but not byte-identical to this
+    encoder's; the cross-encoder property test
+    (``tests/test_codec.py::test_pfor_cross_encoder_decode_compat``)
+    asserts both decode to the same values and the batch block is never
+    larger than the block's varint encoding.
     """
     v = np.ascontiguousarray(vals, dtype=np.uint64)
     n = len(v)

@@ -217,3 +217,117 @@ def test_pfor_batch_matches_single():
         gi, gt = decode_postings(enc_b.postings, enc_b.blockmeta)
         assert gi.tolist() == ids.tolist()
         assert gt.tolist() == tfs.tolist()
+
+
+def test_pfor_large_block_size_rejected():
+    """block_size > 65535 with pfor=True must fail fast (the PFor header
+    stores n in a u16 — silently truncating it corrupts the index), while
+    the varint layout has no such bound and still roundtrips."""
+    rng = np.random.default_rng(7)
+    n = 131_072 + 17
+    docids = np.cumsum(rng.integers(1, 5, size=n)) - 1
+    tfs = np.minimum(rng.geometric(0.5, size=n), 50).astype(np.uint64)
+    dls = rng.integers(10, 500, size=n)
+    with pytest.raises(ValueError, match="65535"):
+        encode_postings(docids, tfs, dls, block_size=131_072, pfor=True)
+    enc = encode_postings(docids, tfs, dls, block_size=131_072, pfor=False)
+    ids, got = decode_postings(enc.postings, enc.blockmeta)
+    assert ids.tolist() == docids.tolist()
+    assert got.tolist() == tfs.tolist()
+
+
+def _decode_stream_reference(postings, blockmeta):
+    """Per-block reference decode (the pre-vectorization semantics):
+    each block independently varint- or pfor-decoded, concatenated."""
+    from search_engine_spark.index.codec import pfor_decode_block
+
+    meta = BlockMeta(blockmeta)
+    mv = memoryview(postings)
+    out = []
+    for stream_off, offs, codec in (
+        (0, meta.docid_offs, meta.docid_codec),
+        (int(meta.docid_offs[-1]), meta.tf_offs, meta.tf_codec),
+    ):
+        parts = []
+        for bi in range(meta.n_blocks):
+            chunk = mv[stream_off + int(offs[bi]) : stream_off + int(offs[bi + 1])]
+            if codec[bi] == 0:
+                parts.append(varint_decode(chunk))
+            else:
+                parts.append(pfor_decode_block(chunk))
+        out.append(
+            np.concatenate(parts) if parts else np.empty(0, dtype=np.uint64)
+        )
+    return out[0], out[1]
+
+
+@given(st.integers(min_value=1, max_value=2000), st.integers(0, 2**31))
+@settings(max_examples=40, deadline=None)
+def test_mixed_codec_batch_decode_matches_per_block(n, seed):
+    """The vectorized mixed-codec _decode_stream must equal the per-block
+    reference decode on layouts that mix varint and PFor blocks (bimodal
+    gaps force both flags to appear across blocks)."""
+    rng = np.random.default_rng(seed)
+    # alternate tight and wide gap regimes every ~64 postings: tight
+    # blocks choose PFor, wide blocks stay varint
+    regime = (np.arange(n) // 64) % 2
+    gaps = np.where(regime == 0, rng.integers(1, 3, n), rng.integers(1, 1 << 20, n))
+    docids = np.cumsum(gaps) - 1
+    tfs = np.minimum(rng.geometric(0.5, size=n), 1 << 16).astype(np.uint64)
+    dls = rng.integers(10, 500, size=n)
+    enc = encode_postings(docids, tfs, dls, pfor=True)
+    ids_v, tfs_v = decode_postings(enc.postings, enc.blockmeta)  # vectorized
+    gaps_r, tfs_r = _decode_stream_reference(enc.postings, enc.blockmeta)
+    assert ids_v.tolist() == delta_decode(gaps_r).tolist()
+    assert tfs_v.tolist() == tfs_r.tolist()
+    assert ids_v.tolist() == docids.tolist()
+    assert tfs_v.tolist() == tfs.tolist()
+
+
+def test_pfor_cross_encoder_decode_compat():
+    """Batch-path PFor blocks (two-candidate width search) are decode-
+    compatible with the exhaustive single-block encoder's blocks, and
+    never larger than the block's varint chunk (else _pfor_stream would
+    have kept varint). Bimodal data is the case where the two width
+    searches genuinely diverge."""
+    from search_engine_spark.index.codec import (
+        pfor_decode_block,
+        pfor_encode_block,
+    )
+
+    rng = np.random.default_rng(99)
+    n = 128 * 300
+    # bimodal: mostly 3-bit gaps with ~13% 8-bit outliers — just over the
+    # batch path's 1/8 exception budget, so its 7/8-quantile width snaps
+    # to 8 bits while the exhaustive search keeps the 3-bit frame and
+    # patches the outliers (different layout, same values); both beat
+    # the 1-byte-per-value varint chunk, so the blocks stay PFor
+    vals = rng.integers(1, 8, size=n).astype(np.uint64)
+    hot = rng.random(n) < 17.0 / 128.0
+    vals[hot] = rng.integers(128, 256, size=int(hot.sum()))
+    docids = np.cumsum(vals) - 1
+    tfs = np.minimum(rng.geometric(0.6, size=n), 50).astype(np.uint64)
+    dls = rng.integers(10, 500, size=n)
+    enc = encode_postings(docids, tfs, dls, pfor=True)
+    meta = BlockMeta(enc.blockmeta)
+    assert meta.docid_codec.any() or meta.tf_codec.any()
+    mv = memoryview(enc.postings)
+    gaps = np.empty(n, dtype=np.uint64)
+    gaps[0] = docids[0] + 1
+    gaps[1:] = np.diff(docids).astype(np.uint64)
+    n_diverged = 0
+    for bi in range(meta.n_blocks):
+        if meta.docid_codec[bi] == 0:
+            continue
+        s, e = bi * meta.block_size, min((bi + 1) * meta.block_size, n)
+        chunk = bytes(mv[int(meta.docid_offs[bi]) : int(meta.docid_offs[bi + 1])])
+        single = pfor_encode_block(gaps[s:e])
+        # decode-compat both directions; byte layouts may differ
+        assert pfor_decode_block(chunk).tolist() == gaps[s:e].tolist()
+        assert pfor_decode_block(single).tolist() == gaps[s:e].tolist()
+        if chunk != single:
+            n_diverged += 1
+        # batch chunk beat varint for this block, by construction
+        assert len(chunk) <= len(varint_encode(gaps[s:e]))
+    # the two encoders really do pick different layouts on bimodal data
+    assert n_diverged > 0

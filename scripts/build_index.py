@@ -38,9 +38,6 @@ def main() -> None:
                     help="doc buckets (0 = auto: ~8k docs per bucket)")
     ap.add_argument("--run-id", default="run-0")
     ap.add_argument("--seed", type=int, default=42)
-    ap.add_argument("--exact-unicode", action="store_true",
-                    help="use the reference-exact Unicode tokenizer kernel "
-                    "(Arrow pandas UDF) instead of the ASCII-identical JVM one")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -69,7 +66,6 @@ def main() -> None:
         args.out,
         n_buckets=n_buckets,
         run_id=args.run_id,
-        exact_unicode=args.exact_unicode,
     )
     print(json.dumps(summary))
     spark.stop()

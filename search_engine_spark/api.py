@@ -171,12 +171,16 @@ def q_wand_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     Shares the BM25 oracle SQL — the driver's comparison IS the
     north_rule's rank-identity check (fast path == brute force).
 
-    The segment index is built into a per-corpus scratch directory
-    (keyed by the sf_dir path) and the result DataFrame is returned
-    lazily — no driver-side collect/re-create round-trip. Re-running the
-    gate reuses the committed index: ``build_segments`` is idempotent
-    (lineage-gated resume), so a second call over a complete index is a
-    metadata no-op.
+    The segment index is built into a per-corpus scratch directory and
+    the result DataFrame is returned lazily — no driver-side
+    collect/re-create round-trip. The cache key folds in a fingerprint
+    of the source parquet files (names + sizes + mtimes), so a
+    regenerated corpus at the same path never silently reuses a stale
+    index, and the build runs under an exclusive flock so two sessions
+    racing on the same scratch directory serialize instead of
+    corrupting each other's lineage. Re-running the gate reuses the
+    committed index: ``build_segments`` is idempotent (lineage-gated
+    resume), so a second call over a complete index is a metadata no-op.
     """
     import hashlib
     import tempfile
@@ -186,13 +190,26 @@ def q_wand_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .query.wand import wand_topk
 
     docs = _docs_as_corpus(spark, sf_dir)
-    key = hashlib.md5(str(Path(sf_dir).resolve()).encode()).hexdigest()[:12]
+    src = Path(sf_dir).resolve()
+    finger = [str(src)]
+    for f in sorted(src.glob("documents*.parquet")):
+        st = f.stat()
+        finger.append(f"{f.name}:{st.st_size}:{st.st_mtime_ns}")
+    key = hashlib.md5("|".join(finger).encode()).hexdigest()[:12]
     d = str(
         Path(tempfile.gettempdir())
         / "spark_graft_idx"
         / f"gate-v{CODEC_VERSION}-{key}"
     )
-    build_segments(spark, docs, d, n_buckets=8, run_id="gate")
+    Path(d).parent.mkdir(parents=True, exist_ok=True)
+    import fcntl
+
+    with open(Path(d).parent / f".{Path(d).name}.lock", "w") as lockf:
+        fcntl.flock(lockf, fcntl.LOCK_EX)
+        try:
+            build_segments(spark, docs, d, n_buckets=8, run_id="gate")
+        finally:
+            fcntl.flock(lockf, fcntl.LOCK_UN)
     out = wand_topk(spark, d, _queries_df(spark), k=10)
     return out.select(
         "query_id",

@@ -146,7 +146,6 @@ def build_segments(
     run_id: str = "run-0",
     k1: float = BM25_K1,
     b: float = BM25_B,
-    exact_unicode: bool = False,
     fail_after_buckets: int | None = None,
     pfor: bool = False,
 ) -> dict:
@@ -530,6 +529,7 @@ def build_segments_from_postings(
     run_id: str = "compact-0",
     k1: float = BM25_K1,
     b: float = BM25_B,
+    pfor: bool = False,
 ) -> dict:
     """Build a segment index from an already-tokenized postings relation
     ``(url, term, tf, dl)`` — one row per (url, term), ``dl`` repeated
@@ -539,6 +539,9 @@ def build_segments_from_postings(
     (SURVEY.md §2 B2). Produces the same unified layout as
     :func:`build_segments`; global stats (N, avgdl, idf) are computed
     over the union, which is exactly what compaction exists to restore.
+    ``pfor`` selects the same per-block codec choice as
+    :func:`build_segments` — compaction passes the source index's
+    recorded choice through so a PFor index stays PFor after merge.
 
     ``url`` must be unique per document across the input (each (url,
     term) row carries the doc's full tf — true for the union of
@@ -561,9 +564,11 @@ def build_segments_from_postings(
         "k1": k1,
         "b": b,
         "codec": CODEC_VERSION,
+        "pfor": pfor,
     }
     if layout_path.exists():
         prev = json.loads(layout_path.read_text())
+        prev.setdefault("pfor", False)  # records from before the option
         if prev != layout:
             raise ValueError(
                 f"index layout mismatch under {out_dir}: {prev} != {layout}"
@@ -645,7 +650,7 @@ def build_segments_from_postings(
         bounds = np.concatenate((t_change, [len(p_codes)]))
         starts, ends = bounds[:-1], bounds[1:]
         encoded = encode_postings_batch(
-            p_docs, p_tfs, dl_per_doc[p_docs], starts, ends
+            p_docs, p_tfs, dl_per_doc[p_docs], starts, ends, pfor=pfor
         )
         seg_terms = t_enc.dictionary.take(
             pa.array(p_codes[starts], type=pa.int32())

@@ -10,7 +10,7 @@ primitives:
 - **hash60**: first 15 hex chars of md5, read as a base-16 integer —
   a 60-bit deterministic hash available in both engines (md5 is
   bit-identical everywhere; 15 hex chars always fit in a signed int64).
-  Verified equal across engines in tests/test_pipeline_hashes.py.
+  Verified equal across engines in tests/test_pipeline_units.py.
 - **word shingles**: positional 3-gram join of the token array.
 
 Scale notes (100 TB): every operator built on these stays in Spark

@@ -410,17 +410,19 @@ def _collect_centroids(n: DataFrame) -> list[tuple[int, list[float], float]]:
     return [(int(r.vec_id), [float(x) for x in r.v], float(r.nrm)) for r in rows]
 
 
-def _cell_cosines(
-    cents: list[tuple[int, list[float], float]], v: str, nrm: str
-) -> list[Column]:
-    """Per-row rounded cosine vs each literal centroid (one expr per cell)."""
-    return [
-        _round6(
-            _dot(F.col(v), F.array(*[F.lit(x) for x in cv]))
-            / (F.col(nrm) * F.lit(cn))
-        )
-        for _, cv, cn in cents
-    ]
+def _fold_cosine6(
+    qv: list[float], qn: float, cv: list[float], cn: float
+) -> float:
+    """Rounded cosine of two driver-side vectors, operation-for-operation
+    identical to the engines' sequential-left-fold ``_dot`` + the shared
+    1e-9 pre-round epsilon (Python floats ARE IEEE doubles, so the
+    scalar loop reproduces ``((0 + x0) + x1) + ...`` exactly)."""
+    import numpy as np
+
+    acc = 0.0
+    for a, b in zip(qv, cv):
+        acc += a * b
+    return float(np.round(acc / (qn * cn) + 1e-9, 6))
 
 
 def _assign_cells(
@@ -428,52 +430,81 @@ def _assign_cells(
 ) -> DataFrame:
     """(vec_id, v, nrm, cell_id) — zero-shuffle cell assignment.
 
-    Each row computes its ``IVF_CELLS`` cosines against the literal
-    centroids and argmaxes in-expression: ``array_position`` returns the
-    FIRST index of the max, so ties break to the lower cell_id — the
-    same (ccos DESC, cell_id ASC) order the oracle's window uses. No
-    join, no Exchange, no row amplification (no-Exchange plan asserted
-    in tests/test_pipeline_units.py); the previous form cross-joined 16
+    ONE narrow ``mapInPandas`` pass: each Arrow batch computes its rows'
+    ``IVF_CELLS`` cosines against the closure-captured centroid matrix
+    (16 x 64 doubles — exactly how a trained coarse quantizer ships to
+    executors) and argmaxes with numpy. No join, no Exchange, no row
+    amplification (no-Exchange plan asserted in
+    tests/test_pipeline_units.py); the round-2 form cross-joined 16
     centroids then shuffled 16N embedding-bearing rows through a window.
+
+    Oracle parity is preserved operation-for-operation:
+    - the dot products accumulate in dimension order
+      (``acc += V[:, d] * C[:, d]`` for d = 0..63), i.e. the identical
+      IEEE sequence ``((0 + x0) + x1) + ...`` as the engines'
+      sequential-left-fold ``_dot``;
+    - rounding uses the shared 1e-9 pre-round epsilon (see
+      ``round6_col``), which moves every value off the decimal halfway
+      ties where numpy (half-even), Spark (HALF_UP) and DuckDB disagree;
+    - ``np.argmax`` returns the FIRST max, so ties break to the lower
+      cell_id — the oracle window's (ccos DESC, cell_id ASC) order.
+
+    Why not pure JVM expressions: a 16 x 64-term literal arithmetic form
+    was measured first — whole-stage codegen fails to compile the ~1k
+    node method and falls back to per-row interpreted eval (~60 us/row);
+    this vectorized Arrow kernel is ~100x cheaper per row and keeps the
+    same narrow, pushdown-friendly plan shape.
     """
-    cos = _cell_cosines(cents, "v", "nrm")
-    sc = F.array(*cos)
-    cell_ids = F.array(*[F.lit(cid) for cid, _, _ in cents])
-    return n.select(
-        "vec_id",
-        "v",
-        "nrm",
-        F.element_at(
-            cell_ids, F.array_position(sc, F.array_max(sc)).cast("int")
-        ).alias("cell_id"),
-    )
+    import numpy as np
+    import pandas as pd
 
+    C = np.asarray([cv for _, cv, _ in cents], dtype=np.float64)
+    cn = np.asarray([x for _, _, x in cents], dtype=np.float64)
+    cell_ids = np.asarray([cid for cid, _, _ in cents], dtype=np.int32)
 
-def _probe_cells(
-    q: DataFrame, cents: list[tuple[int, list[float], float]]
-) -> DataFrame:
-    """(query_id, qv, qn, cell_id) — each query's IVF_NPROBE nearest cells.
-
-    Same literal-centroid cosines; top-NPROBE selected in-expression by
-    sorting (2.0 - ccos, cell_id) structs ascending == (ccos DESC,
-    cell_id ASC). ``2.0 - ccos`` is a strictly positive monotone key
-    (ccos <= 1 + eps), dodging the -0.0 ordering edge a plain negation
-    has.
-    """
-    cos = _cell_cosines(cents, "qv", "qn")
-    keyed = F.array(
-        *[
-            F.struct(
-                (F.lit(2.0) - c).alias("key"),
-                F.lit(cid).alias("cell_id"),
+    def assign(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                yield pdf.assign(cell_id=pd.Series([], dtype="int32"))
+                continue
+            V = np.stack(pdf["v"].to_numpy())
+            acc = np.zeros((len(pdf), len(cn)))
+            for d in range(C.shape[1]):
+                acc += V[:, d, None] * C[None, :, d]
+            cos = np.round(
+                acc / (pdf["nrm"].to_numpy()[:, None] * cn[None, :]) + 1e-9,
+                6,
             )
-            for c, (cid, _, _) in zip(cos, cents)
-        ]
+            yield pdf.assign(cell_id=cell_ids[np.argmax(cos, axis=1)])
+
+    return n.mapInPandas(
+        assign, schema="vec_id long, v array<double>, nrm double, cell_id int"
     )
-    probe = F.slice(F.sort_array(keyed), 1, IVF_NPROBE)
-    return q.select(
-        "query_id", "qv", "qn", F.explode(probe).alias("p")
-    ).select("query_id", "qv", "qn", F.col("p.cell_id").alias("cell_id"))
+
+
+def _probe_cells_local(
+    queries: list[tuple[int, list[float], float]],
+    cents: list[tuple[int, list[float], float]],
+) -> list[tuple[int, list[float], float, int]]:
+    """[(query_id, qv, qn, cell_id)] — each query's IVF_NPROBE nearest
+    cells, computed DRIVER-side.
+
+    The coarse quantizer of an IVF serving system runs wherever the
+    query batch lives: for a small batch that is the driver/client, with
+    zero cluster jobs (the 16-cell centroid sample is already collected).
+    Cosines use :func:`_fold_cosine6` (exact fold-order + epsilon-round
+    parity with the oracle); top-NPROBE selection orders by
+    (ccos DESC, cell_id ASC) — the oracle window's key. A large query
+    *table* would instead reuse :func:`_assign_cells`'s Arrow kernel on
+    the query DataFrame (same kernel, nprobe-slice instead of argmax).
+    """
+    out = []
+    for qid, qv, qn in queries:
+        ranked = sorted(
+            ((-_fold_cosine6(qv, qn, cv, cn), cid) for cid, cv, cn in cents),
+        )[:IVF_NPROBE]
+        out.extend((qid, qv, qn, cid) for _, cid in ranked)
+    return out
 
 
 def ann_ivf_topk(embs: DataFrame) -> DataFrame:
@@ -488,18 +519,22 @@ def ann_ivf_topk(embs: DataFrame) -> DataFrame:
     (:func:`_assign_cells`); at write time ``cell_id`` becomes the
     table's partition key (Iceberg identity partition — demonstrated in
     :func:`write_cell_partitioned` below), so the probe join prunes
-    partitions instead of scanning. The only shuffles left are the
-    broadcast-probe candidate join (probe side is tiny) and the final
-    per-query top-k."""
+    partitions instead of scanning. Probe-cell selection for the small
+    query batch runs driver-side (:func:`_probe_cells_local`) — no
+    cluster job, exactly where an IVF serving system runs its coarse
+    quantizer. The only shuffles left are the broadcast-probe candidate
+    join (probe side is tiny) and the final per-query top-k."""
     n = _vectors(embs)
     cents = _collect_centroids(n)
     assigned = _assign_cells(n, cents)
-    q = n.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("v").alias("qv"),
-        F.col("nrm").alias("qn"),
+    # the query vectors (vec_id < N_QUERIES) are a prefix of the
+    # collected centroid sample (vec_id < IVF_CELLS >= N_QUERIES), so
+    # the probe computation needs no further scan
+    queries = [(cid, cv, cn) for cid, cv, cn in cents if cid < N_QUERIES]
+    probes = embs.sparkSession.createDataFrame(
+        _probe_cells_local(queries, cents),
+        schema="query_id long, qv array<double>, qn double, cell_id int",
     )
-    probes = _probe_cells(q, cents)
     cand = (
         F.broadcast(probes)
         .join(assigned, "cell_id")

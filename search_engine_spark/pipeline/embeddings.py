@@ -22,9 +22,11 @@ Scale notes (100 TB / 10^9 vectors):
   ``LSH_BANDS`` (band_idx, band_val) keys; candidate generation is an
   equi-join on those keys (shuffle partitioned by band value, never
   all-pairs). Band width trades recall for candidate count. At 10^9
-  rows you'd bucket the table by band key at write time (Iceberg
-  ``bucket(B, band_val)``) so queries prune partitions instead of
-  shuffling the corpus.
+  rows the table is bucketed by band key at write time — implemented
+  in :func:`write_band_bucketed` / :func:`ann_lsh_topk_bucketed`
+  (plain-parquet analog of Iceberg ``bucket(B, band_val)``), whose
+  candidate scan partition-prunes instead of shuffling the corpus
+  (plan-asserted in tests).
 - All vector math is JVM higher-order array functions in whole-stage
   codegen — no UDF in any hot path.
 """
@@ -119,8 +121,8 @@ def cosine_neardup_lsh_pairs(docs_embs: DataFrame) -> DataFrame:
     vector table). Recall vs the exact all-pairs version is measured in
     tests/test_pipeline_units.py; the all-pairs version stays as the
     recall oracle only. At 10^9 rows the band join is a shuffle
-    partitioned by (band_idx, band_val); write-time bucketing
-    (Iceberg ``bucket(B, band_val)``) turns it into a co-located join.
+    partitioned by (band_idx, band_val); write-time bucketing turns it
+    into a co-located join — see :func:`write_band_bucketed`.
     """
     n = _vectors(docs_embs)
     sk = _sketch_bits(n).select("vec_id", "band_idx", "band_val")
@@ -598,3 +600,164 @@ ranked AS (
 )
 SELECT query_id, rank, vec_id, cosine FROM ranked WHERE rank <= {ANN_K}
 """
+
+
+# --- write-time bucketed layouts (the co-located-join story, in code) -----
+#
+# The scale notes above say "at 10^9 rows you'd bucket the table by band
+# key at write time (Iceberg ``bucket(B, band_val)``) so queries prune
+# partitions instead of shuffling the corpus". These functions ARE that
+# layout, on plain parquet: the Iceberg ``bucket(B, col)`` partition
+# transform is a pmod-of-deterministic-hash, which parquet's hive-style
+# ``partitionBy`` reproduces exactly when both the writer and every
+# reader derive the bucket with the same expression. Tests assert the
+# candidate scans carry PartitionFilters (partition pruning, not a full
+# read) and return results identical to the unbucketed operators.
+
+BAND_BUCKETS = 8   # bucket(B, band_val); B sized so ~2 band values/bucket
+                   # at the 4-bit band width — at 10^9 rows you'd use 4k+
+
+
+def band_bucket_col(band_val: Column, n_buckets: int = BAND_BUCKETS) -> Column:
+    """bucket(B, band_val): pmod(xxhash64(band_val), B) — the writer and
+    all probe sides derive the bucket from this one expression."""
+    return F.pmod(F.xxhash64(band_val), F.lit(n_buckets)).cast("int")
+
+
+def write_band_bucketed(
+    embs: DataFrame, path: str, n_buckets: int = BAND_BUCKETS
+) -> None:
+    """Materialize the LSH sketch table partitioned by
+    ``(band_idx, band_bucket)`` — write-time band bucketing.
+
+    Layout: ``band_idx=i/band_bucket=j/*.parquet``; on Iceberg the same
+    table is ``PARTITIONED BY (band_idx, bucket(B, band_val))``. A
+    candidate join that knows its probe band keys derives the same
+    buckets and scans ONLY those partitions (see
+    :func:`ann_lsh_topk_bucketed`)."""
+    sk = _sketch_bits(_vectors(embs)).select(
+        "vec_id", "v", "nrm", "band_val", "band_idx"
+    )
+    (
+        sk.withColumn("band_bucket", band_bucket_col(F.col("band_val"), n_buckets))
+        .repartition("band_idx", "band_bucket")
+        .write.partitionBy("band_idx", "band_bucket")
+        .mode("overwrite")
+        .parquet(path)
+    )
+
+
+def ann_lsh_topk_bucketed(
+    spark, path: str, n_buckets: int = BAND_BUCKETS
+) -> DataFrame:
+    """(query_id, rank, vec_id, cosine) — :func:`ann_lsh_topk` served
+    from the write-time-bucketed sketch table with partition-pruned
+    candidate scans (result-identical; asserted in tests).
+
+    Steps: (1) read the query rows (vec_id < N_QUERIES — a tiny pushed
+    filter scan); (2) ONE driver round-trip for the distinct
+    (band_idx, band_bucket) probe partitions — at most
+    N_QUERIES x LSH_BANDS pairs, independent of corpus size; (3) the
+    candidate scan filters on those literal partition values, so the
+    FileSourceScan's PartitionFilters prune to the probed partitions
+    (plan-asserted in tests) — the co-located-join promise of write-time
+    bucketing, kept without shuffling the corpus."""
+    sk = spark.read.parquet(path)
+    qsk = sk.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"),
+        F.col("band_idx").alias("qb"),
+        F.col("band_val").alias("qval"),
+        F.col("band_bucket").alias("qbucket"),
+    )
+    probe_parts = sorted(
+        {(r.qb, r.qbucket) for r in qsk.select("qb", "qbucket").collect()}
+    )
+    # OR-of-ANDs on the two partition columns — the shape the file-source
+    # partition pruner folds into PartitionFilters (a struct-isin is not
+    # recognized as a partition predicate)
+    import functools
+
+    part_pred = functools.reduce(
+        lambda acc, bj: acc
+        | ((F.col("band_idx") == bj[0]) & (F.col("band_bucket") == bj[1])),
+        probe_parts[1:],
+        (F.col("band_idx") == probe_parts[0][0])
+        & (F.col("band_bucket") == probe_parts[0][1]),
+    )
+    cand = (
+        F.broadcast(qsk)
+        .join(
+            sk.filter(part_pred),
+            on=[
+                F.col("qb") == F.col("band_idx"),
+                F.col("qval") == F.col("band_val"),
+                F.col("query_id") != F.col("vec_id"),
+            ],
+        )
+        .select("query_id", "qv", "qn", "vec_id", "v", "nrm")
+        .distinct()
+    )
+    scored = cand.select(
+        "query_id",
+        "vec_id",
+        _round6(
+            _dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("nrm"))
+        ).alias("cosine"),
+    )
+    return _ranked_topk(scored)
+
+
+def write_cell_partitioned(embs: DataFrame, path: str) -> None:
+    """Materialize the IVF-assigned vector table partitioned by
+    ``cell_id`` (Iceberg identity partition): ``cell_id=k/*.parquet``.
+    The probe join then reads only the probed cells' partitions
+    (:func:`ann_ivf_topk_partitioned`)."""
+    n = _vectors(embs)
+    cents = _collect_centroids(n)
+    (
+        _assign_cells(n, cents)
+        .repartition("cell_id")
+        .write.partitionBy("cell_id")
+        .mode("overwrite")
+        .parquet(path)
+    )
+
+
+def ann_ivf_topk_partitioned(spark, path: str) -> DataFrame:
+    """(query_id, rank, vec_id, cosine) — :func:`ann_ivf_topk` served
+    from the cell-partitioned table: probe cells are computed driver-side
+    from the centroid sample (pushed-filter scan of 16 rows), and the
+    candidate scan's PartitionFilters prune to the probed cells —
+    reading IVF_NPROBE x N_QUERIES distinct cells of the corpus, not all
+    of it (plan-asserted; result-identical to :func:`ann_ivf_topk`)."""
+    assigned = spark.read.parquet(path)
+    cents = [
+        (int(r.vec_id), [float(x) for x in r.v], float(r.nrm))
+        for r in assigned.filter(F.col("vec_id") < IVF_CELLS)
+        .select("vec_id", "v", "nrm")
+        .orderBy("vec_id")
+        .collect()
+    ]
+    queries = [(cid, cv, cn) for cid, cv, cn in cents if cid < N_QUERIES]
+    probe_rows = _probe_cells_local(queries, cents)
+    probes = spark.createDataFrame(
+        probe_rows,
+        schema="query_id long, qv array<double>, qn double, cell_id int",
+    )
+    probed_cells = sorted({cid for *_, cid in probe_rows})
+    cand = (
+        F.broadcast(probes)
+        .join(assigned.filter(F.col("cell_id").isin(probed_cells)), "cell_id")
+        .filter(F.col("query_id") != F.col("vec_id"))
+        .select("query_id", "qv", "qn", "vec_id", "v", "nrm")
+    )
+    scored = cand.select(
+        "query_id",
+        "vec_id",
+        _round6(
+            _dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("nrm"))
+        ).alias("cosine"),
+    )
+    return _ranked_topk(scored)

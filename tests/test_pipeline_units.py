@@ -193,10 +193,10 @@ def test_lsh_hot_band_cap_bounds_skew(spark):
 
 
 def test_ivf_assignment_plan_is_shuffle_free(spark):
-    """IVF cell assignment is per-row expression math against literal
-    centroids — the physical plan must contain no Exchange (the old
-    version cross-joined 16 centroids then windowed over 16N
-    embedding-bearing rows)."""
+    """IVF cell assignment is ONE narrow Arrow pass against the
+    closure-captured centroid matrix — the physical plan must contain no
+    Exchange (the round-2 version cross-joined 16 centroids then
+    windowed over 16N embedding-bearing rows)."""
     sf = "/root/testdata/sf0.001"
     embs = spark.read.parquet(f"{sf}/embeddings.parquet")
     n = emb._vectors(embs)
@@ -227,3 +227,43 @@ def test_ivf_recall_reasonable(spark):
     }
     recall = len(brute & ivf) / len(brute)
     assert recall > 0.2, f"IVF recall collapsed: {recall:.2f}"
+
+
+def test_band_bucketed_layout_prunes_and_matches(spark, tmp_path):
+    """Write-time band bucketing (Iceberg bucket(B, band_val) on plain
+    parquet): the candidate scan must carry PartitionFilters — partition
+    pruning, not a full read — and the served top-k must be identical to
+    the unbucketed ann_lsh_topk."""
+    sf = "/root/testdata/sf0.001"
+    embs = spark.read.parquet(f"{sf}/embeddings.parquet")
+    path = str(tmp_path / "band_bucketed")
+    emb.write_band_bucketed(embs, path)
+
+    out = emb.ann_lsh_topk_bucketed(spark, path)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # the corpus-side scan prunes on both partition columns
+    assert "PartitionFilters" in plan, plan
+    assert "band_bucket" in plan.split("PartitionFilters", 2)[-1][:400], plan
+
+    got = sorted(map(tuple, out.collect()))
+    want = sorted(map(tuple, emb.ann_lsh_topk(embs).collect()))
+    assert got == want
+
+
+def test_cell_partitioned_layout_prunes_and_matches(spark, tmp_path):
+    """IVF identity-partitioned layout: the probe join reads only the
+    probed cells (PartitionFilters on cell_id) and serves the identical
+    top-k as ann_ivf_topk."""
+    sf = "/root/testdata/sf0.001"
+    embs = spark.read.parquet(f"{sf}/embeddings.parquet")
+    path = str(tmp_path / "cell_partitioned")
+    emb.write_cell_partitioned(embs, path)
+
+    out = emb.ann_ivf_topk_partitioned(spark, path)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan, plan
+    assert "cell_id" in plan.split("PartitionFilters", 2)[-1][:400], plan
+
+    got = sorted(map(tuple, out.collect()))
+    want = sorted(map(tuple, emb.ann_ivf_topk(embs).collect()))
+    assert got == want

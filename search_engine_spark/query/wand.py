@@ -190,15 +190,44 @@ def _serving_state(spark: SparkSession, index_dir: str) -> dict:
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     docs.count()
-    # Vocabulary hash set, collected ONCE per index (amortized over all
-    # queries): the driver-side membership test that (a) early-exits
-    # all-OOV queries without launching the main job and (b) shrinks
-    # the isin pushdown literals to terms actually present. At web
-    # scale (10^8-term lexicon) this set becomes a Bloom filter — the
-    # standard lexicon-side-car — with identical serving semantics
-    # (false positives only cost a harmless extra literal).
-    vocab = frozenset(r.term_hash for r in ts.select("term_hash").collect())
-    state = {"stats": stats, "docs": docs, "ts": ts, "vocab": vocab}
+    # Driver-side lexicon {term: (term_hash, idf)}, collected ONCE per
+    # index (amortized over all queries): (a) early-exits all-OOV
+    # queries without launching the main job, (b) shrinks the isin
+    # pushdown literals to terms actually present, and (c) lets small
+    # local query batches resolve (term, qtf, idf) with zero Spark jobs
+    # (the single-query latency fast path). This is the classic search
+    # lexicon sidecar; at web scale (10^8 terms) it pages from disk or
+    # degrades to a Bloom filter over term_hash with the idf join left
+    # in the plan — identical serving semantics.
+    lexicon = {
+        r.term: (r.term_hash, r.idf)
+        for r in ts.select("term", "term_hash", "idf").collect()
+    }
+    vocab = frozenset(h for h, _ in lexicon.values())
+    # pre-projected kind=0 rows in the kernel's unified scan schema —
+    # built once so per-query plan construction (py4j round-trips)
+    # stays O(query terms), not O(serving-plan width)
+    doc_rows = docs.select(
+        "bucket",
+        F.lit(0).alias("kind"),
+        "doc_idx",
+        "dl",
+        _null("string").alias("term"),
+        _null("binary").alias("postings"),
+        _null("binary").alias("blockmeta"),
+        _null("string").alias("query_id"),
+        _null("long").alias("qtf"),
+        _null("double").alias("idf"),
+        "url",
+    )
+    state = {
+        "stats": stats,
+        "docs": docs,
+        "doc_rows": doc_rows,
+        "ts": ts,
+        "vocab": vocab,
+        "lexicon": lexicon,
+    }
     _SERVE_CACHE[key] = state
     return state
 
@@ -211,6 +240,47 @@ def _evict(key: tuple) -> None:
                 df.unpersist()
             except Exception:
                 pass
+
+
+def _null(t: str):
+    return F.lit(None).cast(t)
+
+
+# unified grouped-scan row: term rows (kind=1), doc rows (kind=0) and
+# query rows (kind=2) share this shape so ONE groupBy(bucket) feeds the
+# kernel all three relations
+_SCAN_DDL = (
+    "bucket int, kind int, doc_idx long, dl long, term string, "
+    "postings binary, blockmeta binary, query_id string, qtf long, "
+    "idf double, url string"
+)
+
+# Batches at or below this size that are already driver-local
+# (LocalRelation) take the zero-job fast path; larger or distributed
+# batches always go through the plan.
+LOCAL_QUERY_FAST_MAX = 256
+
+
+def _local_query_rows(queries: DataFrame) -> list[tuple[str, str]] | None:
+    """[(query_id, query_string)] when the batch is a SMALL driver-local
+    relation (``createDataFrame`` literals — the CLI / REPL /
+    single-query-latency shape), else None.
+
+    The data of a LocalRelation already lives on the driver, so reading
+    it back is not a scalability regression — while a distributed plan
+    (range, scan, transform) is never collected: a 10^5-query batch
+    keeps tokenizing executor-side in the plan
+    (tests/test_segments_wand.py::test_wand_large_query_batch_no_driver_tokenization).
+    """
+    try:
+        lp = queries._jdf.queryExecution().optimizedPlan()
+        if lp.getClass().getSimpleName() != "LocalRelation":
+            return None
+        if lp.data().size() > LOCAL_QUERY_FAST_MAX:
+            return None
+    except Exception:
+        return None
+    return [(r[0], r[1]) for r in queries.collect()]
 
 
 CANDIDATE_SCHEMA = StructType(
@@ -251,83 +321,112 @@ def wand_topk(
     state = _serving_state(spark, index_dir)
     stats = state["stats"]
     avgdl, k1, b = stats["avgdl"], stats["k1"], stats["b"]
+    n_buckets = int(stats["n_buckets"])
 
-    # Pre-job: ONE narrow stage (explode + md5 over the query batch, no
-    # join/shuffle/broadcast) collects the token hashes; dedupe and
-    # intersect with the cached vocabulary set driver-side. All-OOV
-    # queries return here without launching the main job.
-    from ..pipeline.common import hash60_col
+    qrows = _local_query_rows(queries)
+    if qrows is not None:
+        # Fast path (small driver-local batch): tokenize with the exact
+        # Python parity kernel and resolve (qtf, idf, term_hash) from
+        # the cached lexicon — ZERO Spark jobs before the main serving
+        # job; the fanned-out kind=2 rows become one literal relation.
+        from ..functions.tokenize import query_tokens_py
 
-    tok_hashes = (
-        queries.select(
-            F.explode(query_tokens_col(F.col("query_string"))).alias("t")
-        )
-        .select(hash60_col(F.col("t")).alias("h"))
-        .collect()
-    )
-    hashes = sorted({r.h for r in tok_hashes} & state["vocab"])
-    if not hashes:
-        return _empty_result(spark)
+        qk_rows: list[tuple] = []
+        hashes_set: set[int] = set()
+        for qid, qs in qrows:
+            toks = query_tokens_py(qs)
+            for t in sorted(set(toks)):
+                ent = state["lexicon"].get(t)
+                if ent is None:
+                    continue
+                h, idf = ent
+                hashes_set.add(int(h))
+                qtf = toks.count(t)
+                qk_rows.extend(
+                    (bkt, 2, None, None, t, None, None, qid, qtf,
+                     float(idf), None)
+                    for bkt in range(n_buckets)
+                )
+        if not qk_rows:
+            return _empty_result(spark)
+        hashes = sorted(hashes_set)
+        qk = spark.createDataFrame(qk_rows, schema=_SCAN_DDL)
+    else:
+        # Plan path (large / distributed batch): pre-job — ONE narrow
+        # stage (explode + md5, no join/shuffle/broadcast) collects the
+        # token hashes; dedupe and intersect with the cached vocabulary
+        # set driver-side. All-OOV batches return here without
+        # launching the main job.
+        from ..pipeline.common import hash60_col
 
-    # (query_id, term, qtf, idf): qtf computed with array expressions
-    # (distinct terms x in-array count) instead of a groupBy — no
-    # Exchange; the per-term re-scan of the token array is O(L^2) on a
-    # ~10-token query string, i.e. free. idf comes from the cached
-    # termstats relation; the join stays in the plan (executor-side),
-    # so a 10^5-query batch never funnels through the driver.
-    toks = query_tokens_col(F.col("query_string"))
-    qtok = queries.select(
-        "query_id",
-        F.explode(
-            F.transform(
-                F.array_distinct(toks),
-                lambda t: F.struct(
-                    t.alias("term"),
-                    F.size(F.filter(toks, lambda x: x == t))
-                    .cast("long")
-                    .alias("qtf"),
-                ),
+        tok_hashes = (
+            queries.select(
+                F.explode(query_tokens_col(F.col("query_string"))).alias("t")
             )
-        ).alias("tq"),
-    ).select(
-        "query_id",
-        F.col("tq.term").alias("term"),
-        F.col("tq.qtf").alias("qtf"),
-    )
-    # the cached termstats relation is pre-filtered to the (tiny) query
-    # vocabulary by the int64 hash list before the join, so the
-    # broadcast build ships a handful of rows, not the lexicon
-    ts_small = state["ts"].filter(F.col("term_hash").isin(hashes))
-    qrel = qtok.join(F.broadcast(ts_small), "term").select(
-        "query_id", "term", "qtf", "idf"
-    )
+            .select(hash60_col(F.col("t")).alias("h"))
+            .collect()
+        )
+        hashes = sorted({r.h for r in tok_hashes} & state["vocab"])
+        if not hashes:
+            return _empty_result(spark)
+
+        # (query_id, term, qtf, idf): qtf computed with array
+        # expressions (distinct terms x in-array count) instead of a
+        # groupBy — no Exchange; the per-term re-scan of the token
+        # array is O(L^2) on a ~10-token query string, i.e. free. idf
+        # comes from the cached termstats relation; the join stays in
+        # the plan (executor-side), so a 10^5-query batch never funnels
+        # through the driver.
+        toks = query_tokens_col(F.col("query_string"))
+        qtok = queries.select(
+            "query_id",
+            F.explode(
+                F.transform(
+                    F.array_distinct(toks),
+                    lambda t: F.struct(
+                        t.alias("term"),
+                        F.size(F.filter(toks, lambda x: x == t))
+                        .cast("long")
+                        .alias("qtf"),
+                    ),
+                )
+            ).alias("tq"),
+        ).select(
+            "query_id",
+            F.col("tq.term").alias("term"),
+            F.col("tq.qtf").alias("qtf"),
+        )
+        # the cached termstats relation is pre-filtered to the (tiny)
+        # query vocabulary by the int64 hash list before the join, so
+        # the broadcast build ships a handful of rows, not the lexicon
+        ts_small = state["ts"].filter(F.col("term_hash").isin(hashes))
+        qrel = qtok.join(F.broadcast(ts_small), "term").select(
+            "query_id", "term", "qtf", "idf"
+        )
+        # fan the query relation out to every bucket by exploding a
+        # literal bucket array — no join, no broadcast build (n_buckets
+        # is a build constant from stats.json)
+        qk = qrel.select(
+            "*",
+            F.explode(
+                F.array(*[F.lit(i).cast("int") for i in range(n_buckets)])
+            ).alias("bucket"),
+        ).select(
+            "bucket",
+            F.lit(2).alias("kind"),
+            _null("long").alias("doc_idx"),
+            _null("long").alias("dl"),
+            "term",
+            _null("binary").alias("postings"),
+            _null("binary").alias("blockmeta"),
+            "query_id",
+            "qtf",
+            "idf",
+            _null("string").alias("url"),
+        )
 
     bc = spark.sparkContext.broadcast(
         {"avgdl": avgdl, "k1": k1, "b": b, "k": k}
-    )
-
-    # fan the query relation out to every bucket by exploding a literal
-    # bucket array — no join, no broadcast build (n_buckets is a build
-    # constant from stats.json)
-    n_buckets = int(stats["n_buckets"])
-    _null = lambda t: F.lit(None).cast(t)  # noqa: E731
-    qk = qrel.select(
-        "*",
-        F.explode(
-            F.array(*[F.lit(i).cast("int") for i in range(n_buckets)])
-        ).alias("bucket"),
-    ).select(
-        "bucket",
-        F.lit(2).alias("kind"),
-        _null("long").alias("doc_idx"),
-        _null("long").alias("dl"),
-        "term",
-        _null("binary").alias("postings"),
-        _null("binary").alias("blockmeta"),
-        "query_id",
-        "qtf",
-        "idf",
-        _null("string").alias("url"),
     )
     term_rows = (
         read_index(spark, index_dir)
@@ -340,20 +439,7 @@ def wand_topk(
             _null("string").alias("url"),
         )
     )
-    doc_rows = state["docs"].select(
-        "bucket",
-        F.lit(0).alias("kind"),
-        "doc_idx",
-        "dl",
-        _null("string").alias("term"),
-        _null("binary").alias("postings"),
-        _null("binary").alias("blockmeta"),
-        _null("string").alias("query_id"),
-        _null("long").alias("qtf"),
-        _null("double").alias("idf"),
-        "url",
-    )
-    scan = term_rows.unionByName(doc_rows).unionByName(qk)
+    scan = term_rows.unionByName(state["doc_rows"]).unionByName(qk)
 
     def run_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
         cfg = bc.value

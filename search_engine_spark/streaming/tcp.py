@@ -1,0 +1,213 @@
+"""Real TCP submit/poll endpoints speaking the reference's wire protocol.
+
+The reference's production surface is a pair of one-shot-JSON TCP
+servers (``/root/reference/src/server.rs:34-61`` submit on :8080,
+``:63-118`` poll on :8081) driven by the client loop in
+``/root/reference/src/bin/test.rs:86-160``. Wire format (serde_json):
+
+- submit: request ``{"query": str}`` ->
+  response ``{"query_id": "<uuid>", "message": "Query received: <query>"}``
+- poll: request ``{"query_id": str}`` -> response
+  ``{"documents": [[doc_id, i32], ...], "message": str,
+  "query_processing_time": {"secs": u64, "nanos": u32}}``. While a
+  result is pending the message is EXACTLY
+  ``"No result yet, check again..."`` with placeholder documents
+  ``[["", 0]]`` — the reference client string-matches that sentinel to
+  decide whether to re-poll (``test.rs:116``), so it is part of the
+  wire contract.
+
+Engine integration (batch-first): submissions land in an in-process
+queue; one serving thread drains ALL pending queries per wakeup and
+runs them as ONE ``wand_topk`` batch — the engine's design point, and
+the reason per-query cost amortizes under load. The reported
+``query_processing_time`` spans submit-arrival -> result-commit, i.e.
+INCLUDES queue wait, matching the reference's latency definition
+(BASELINE.md row 3). Scores ride the i32 wire slot as
+``round(bm25 * 1000)`` millipoints: the reference's i32 is a
+token-frequency sum, this engine ranks by BM25 per the north star —
+wire shape preserved, scoring-scale divergence documented.
+
+At cluster scale this front-end is the driver-side edge of the serving
+job (the queue is the reference's MPMC channel, SURVEY.md §2 P6 —
+Spark's scheduler replaces the worker pool); a production deploy would
+run several of these behind a load balancer, each owning a SparkSession.
+"""
+
+from __future__ import annotations
+
+import json
+import socket
+import socketserver
+import threading
+import time
+import uuid
+
+from pyspark.sql import SparkSession
+
+NOT_READY = "No result yet, check again..."
+RECV_MAX = 64 * 1024
+
+
+def _duration(secs_float: float) -> dict:
+    """Rust ``std::time::Duration`` serde shape."""
+    secs = int(secs_float)
+    return {"secs": secs, "nanos": int((secs_float - secs) * 1e9)}
+
+
+class TcpServingFrontend:
+    """Reference-protocol TCP pair over a prebuilt segment index.
+
+    ``start()`` binds both listeners (ephemeral ports by default) and
+    launches the batch-serving thread; returns (submit_port, poll_port).
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        index_dir: str,
+        k: int = 10,
+        host: str = "127.0.0.1",
+        submit_port: int = 0,
+        poll_port: int = 0,
+    ):
+        self._spark = spark
+        self._index_dir = index_dir
+        self._k = k
+        self._host = host
+        self._ports = (submit_port, poll_port)
+        self._lock = threading.Condition()
+        self._pending: list[tuple[str, str, float]] = []
+        # query_id -> {"documents": [[url, int], ...], "secs": float}
+        self._results: dict[str, dict] = {}
+        self._stop = False
+        self._threads: list[threading.Thread] = []
+        self._servers: list[socketserver.ThreadingTCPServer] = []
+
+    # --- protocol handlers ------------------------------------------------
+
+    def _handle_submit(self, payload: dict) -> dict:
+        query = payload["query"]
+        qid = str(uuid.uuid4())
+        with self._lock:
+            self._pending.append((qid, query, time.monotonic()))
+            self._lock.notify()
+        return {"query_id": qid, "message": f"Query received: {query}"}
+
+    def _handle_poll(self, payload: dict) -> dict:
+        qid = payload["query_id"]
+        with self._lock:
+            res = self._results.get(qid)
+        if res is None:
+            return {
+                "documents": [["", 0]],
+                "message": NOT_READY,
+                "query_processing_time": _duration(0.0),
+            }
+        return {
+            "documents": res["documents"],
+            "message": f"Query result: {qid} "
+                       f"({len(res['documents'])} documents)",
+            "query_processing_time": _duration(res["secs"]),
+        }
+
+    # --- serving loop -----------------------------------------------------
+
+    def _serve_loop(self) -> None:
+        from ..query.wand import wand_topk
+
+        while True:
+            with self._lock:
+                while not self._pending and not self._stop:
+                    self._lock.wait()
+                if self._stop:
+                    return
+                batch = self._pending
+                self._pending = []
+            qdf = self._spark.createDataFrame(
+                [(qid, q) for qid, q, _ in batch],
+                ["query_id", "query_string"],
+            )
+            rows = wand_topk(
+                self._spark, self._index_dir, qdf, k=self._k
+            ).collect()
+            by_qid: dict[str, list] = {}
+            for r in sorted(rows, key=lambda r: (r.query_id, r.rank)):
+                by_qid.setdefault(r.query_id, []).append(
+                    [r.url, int(round(r.score * 1000))]
+                )
+            done = time.monotonic()
+            with self._lock:
+                for qid, _, t0 in batch:
+                    # arrival -> search-complete, queue wait INCLUDED
+                    self._results[qid] = {
+                        "documents": by_qid.get(qid, []),
+                        "secs": done - t0,
+                    }
+
+    # --- lifecycle --------------------------------------------------------
+
+    def start(self) -> tuple[int, int]:
+        frontend = self
+
+        def make(handler_fn):
+            class Handler(socketserver.BaseRequestHandler):
+                def handle(self):
+                    data = self.request.recv(RECV_MAX)
+                    if not data:
+                        return
+                    try:
+                        resp = handler_fn(json.loads(data.decode("utf-8")))
+                    except Exception as exc:  # malformed request
+                        resp = {"message": f"bad request: {exc}"}
+                    self.request.sendall(json.dumps(resp).encode("utf-8"))
+
+            return Handler
+
+        socketserver.ThreadingTCPServer.allow_reuse_address = True
+        for port, fn in (
+            (self._ports[0], frontend._handle_submit),
+            (self._ports[1], frontend._handle_poll),
+        ):
+            srv = socketserver.ThreadingTCPServer(
+                (self._host, port), make(fn)
+            )
+            srv.daemon_threads = True
+            self._servers.append(srv)
+            t = threading.Thread(target=srv.serve_forever, daemon=True)
+            t.start()
+            self._threads.append(t)
+        t = threading.Thread(target=self._serve_loop, daemon=True)
+        t.start()
+        self._threads.append(t)
+        return tuple(s.server_address[1] for s in self._servers)
+
+    def stop(self) -> None:
+        with self._lock:
+            self._stop = True
+            self._lock.notify_all()
+        for srv in self._servers:
+            srv.shutdown()
+            srv.server_close()
+
+
+def submit_query(host: str, port: int, query: str) -> dict:
+    """Client half of the submit protocol (one JSON request/connection)."""
+    return _roundtrip(host, port, {"query": query})
+
+
+def poll_query(host: str, port: int, query_id: str) -> dict:
+    """Client half of the poll protocol."""
+    return _roundtrip(host, port, {"query_id": query_id})
+
+
+def _roundtrip(host: str, port: int, payload: dict) -> dict:
+    with socket.create_connection((host, port), timeout=30) as s:
+        s.sendall(json.dumps(payload).encode("utf-8"))
+        s.shutdown(socket.SHUT_WR)
+        chunks = []
+        while True:
+            b = s.recv(RECV_MAX)
+            if not b:
+                break
+            chunks.append(b)
+    return json.loads(b"".join(chunks).decode("utf-8"))

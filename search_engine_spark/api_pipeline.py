@@ -136,9 +136,92 @@ FROM events
 GROUP BY 1, 2
 """
 
+SESSION_GAP_US = 30 * 60 * 1_000_000  # 30-minute inactivity cut
+
+
+def q_event_sessions(spark, sf_dir):
+    """Gap-based sessionization per user over the events table — the
+    standard event-pipeline operator (Structured Streaming expresses it
+    with session windows / ``applyInPandasWithState``; this is the batch
+    shape). A session breaks after 30 minutes of inactivity.
+
+    Plan: lag() marks session starts, a running sum numbers sessions,
+    one groupBy aggregates — all three share the ``user_id`` hash
+    partitioning, so the whole operator is ONE Exchange end to end
+    (plan-asserted in tests/test_pipeline_units.py). Timestamp math is
+    exact integer microseconds (``unix_micros`` / ``epoch_us``; the NTZ
+    column casts through the session timezone, which cancels in the gap
+    and duration differences) so both engines agree bit-for-bit. At 100 TB this is the canonical
+    sessionize shape: shuffle once on the (high-cardinality, uniform)
+    user key, everything else is within-partition.
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    gap = us - F.lag(us).over(w)
+    marked = ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "value",
+        F.when(gap.isNull() | (gap > SESSION_GAP_US), 1)
+        .otherwise(0)
+        .alias("is_new"),
+    )
+    sess = marked.select(
+        "user_id",
+        "ts",
+        "value",
+        F.sum("is_new")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("long")
+        .alias("session_id"),
+    )
+    return sess.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        (F.unix_micros(F.max("ts").cast("timestamp"))
+         - F.unix_micros(F.min("ts").cast("timestamp")))
+        .cast("long")
+        .alias("duration_us"),
+        F.round(F.sum("value") + F.lit(1e-9), 6).alias("sum_value"),
+    )
+
+
+SQL_EVENT_SESSIONS = f"""
+WITH marked AS (
+    SELECT user_id, event_id, ts, value,
+           CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                     OR epoch_us(ts) - lag(epoch_us(ts)) OVER w
+                        > {SESSION_GAP_US}
+                THEN 1 ELSE 0 END AS is_new
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+    SELECT user_id, ts, value,
+           sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING)::BIGINT AS session_id
+    FROM marked
+)
+SELECT user_id, session_id,
+       count(*)::BIGINT AS n_events,
+       min(ts) AS session_start,
+       max(ts) AS session_end,
+       (epoch_us(max(ts)) - epoch_us(min(ts)))::BIGINT AS duration_us,
+       round(sum(value) + 1e-9, 6) AS sum_value
+FROM sess
+GROUP BY 1, 2
+"""
+
 
 PIPELINE_QUERIES: dict = {
     "event_window_counts": q_event_window_counts,
+    "event_sessions": q_event_sessions,
     "text_stats": q_text_stats,
     "lang_id": q_lang_id,
     "fingerprints": q_fingerprints,
@@ -158,6 +241,7 @@ PIPELINE_QUERIES: dict = {
 
 PIPELINE_ORACLES: dict = {
     "event_window_counts": SQL_EVENT_WINDOW_COUNTS,
+    "event_sessions": SQL_EVENT_SESSIONS,
     "text_stats": textstats.SQL_TEXT_STATS,
     "lang_id": textstats.SQL_LANG_ID,
     "fingerprints": textstats.SQL_FINGERPRINTS,

@@ -267,3 +267,30 @@ def test_cell_partitioned_layout_prunes_and_matches(spark, tmp_path):
     got = sorted(map(tuple, out.collect()))
     want = sorted(map(tuple, emb.ann_ivf_topk(embs).collect()))
     assert got == want
+
+
+def test_event_sessions_single_exchange(spark):
+    """Sessionization (lag -> running sum -> groupBy) shares the user_id
+    hash partitioning end to end: exactly ONE Exchange in the physical
+    plan, and sessions are consistent (no overlaps, gap rule honored)."""
+    from search_engine_spark.api_pipeline import SESSION_GAP_US, q_event_sessions
+
+    sf = "/root/testdata/sf0.001"
+    out = q_event_sessions(spark, sf)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1, plan
+
+    rows = out.collect()
+    assert rows
+    by_user: dict = {}
+    for r in rows:
+        by_user.setdefault(r.user_id, []).append(r)
+    for user, sess in by_user.items():
+        sess.sort(key=lambda r: r.session_id)
+        assert [s.session_id for s in sess] == list(range(1, len(sess) + 1))
+        for a, b in zip(sess, sess[1:]):
+            # consecutive sessions are separated by more than the gap
+            gap_us = (b.session_start - a.session_end).total_seconds() * 1e6
+            assert gap_us > SESSION_GAP_US, (user, a.session_id)
+        for s in sess:
+            assert s.duration_us >= 0 and s.n_events >= 1

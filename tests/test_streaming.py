@@ -309,3 +309,78 @@ def test_compaction_inherits_pfor_codec(spark, tmp_path):
         or BlockMeta(r.blockmeta).tf_codec.any()
         for r in metas
     )
+
+
+def test_stateful_streaming_sessionization(spark, tmp_path):
+    """applyInPandasWithState sessionization over a 3-micro-batch event
+    stream equals the batch operator (q_event_sessions) on the same
+    data, minus each user's final still-open session — state must carry
+    open sessions across micro-batch boundaries."""
+    from pyspark.sql import functions as F
+
+    from search_engine_spark.api_pipeline import q_event_sessions
+    from search_engine_spark.streaming.sessions import sessionize_stream
+
+    sf = "/root/testdata/sf0.001"
+    ev = (
+        spark.read.parquet(f"{sf}/events.parquet")
+        .select("event_id", "ts", "user_id", "value")
+        .orderBy("ts", "event_id")
+    )
+    rows = ev.collect()
+    in_dir = tmp_path / "ev"
+    in_dir.mkdir()
+    third = len(rows) // 3
+    schema = "event_id long, ts timestamp_ntz, user_id long, value double"
+    for i, chunk in enumerate(
+        [rows[:third], rows[third : 2 * third], rows[2 * third :]]
+    ):
+        df = spark.createDataFrame(chunk, schema)
+        df.coalesce(1).write.mode("overwrite").parquet(
+            str(tmp_path / f"stage{i}")
+        )
+        part = next((tmp_path / f"stage{i}").glob("part-*.parquet"))
+        part.rename(in_dir / f"batch{i}.parquet")
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(in_dir))
+    )
+    q = (
+        sessionize_stream(stream)
+        .writeStream.format("memory")
+        .queryName("sessions_out")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    got = {
+        (r.user_id, r.session_id): r
+        for r in spark.table("sessions_out").collect()
+    }
+
+    batch = q_event_sessions(spark, sf).collect()
+    last_sid = {}
+    for r in batch:
+        last_sid[r.user_id] = max(last_sid.get(r.user_id, 0), r.session_id)
+    want = {
+        (r.user_id, r.session_id): r
+        for r in batch
+        if r.session_id != last_sid[r.user_id]
+    }
+
+    assert set(got) == set(want)
+    assert len(want) > 50  # the corpus really exercises multi-session users
+    import datetime as dt
+
+    epoch = dt.datetime(1970, 1, 1)
+    for k, w in want.items():
+        g = got[k]
+        assert g.n_events == w.n_events, k
+        assert g.duration_us == w.duration_us, k
+        start_us = int((w.session_start - epoch).total_seconds() * 1e6)
+        assert abs(g.start_us - start_us) <= 1, k
+        assert abs(g.sum_value - w.sum_value) < 1e-6, k

@@ -13,7 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .corpus import load_table
-from .pipeline import dedup, embeddings, multimodal, textstats
+from .pipeline import curation, dedup, embeddings, multimodal, textstats
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -103,6 +103,16 @@ def q_multimodal_features(spark, sf_dir):
 def q_video_frames(spark, sf_dir):
     media = multimodal.media_from_documents(_docs(spark, sf_dir))
     return multimodal.sample_frames(media)
+
+
+def q_dataset_splits(spark, sf_dir):
+    """Deterministic hash train/val/test split (zero-shuffle)."""
+    return curation.dataset_splits(_docs(spark, sf_dir))
+
+
+def q_contamination(spark, sf_dir):
+    """Train/eval n-gram decontamination (broadcast eval grams)."""
+    return curation.contamination(_docs(spark, sf_dir))
 
 
 def q_event_window_counts(spark, sf_dir):
@@ -222,6 +232,8 @@ GROUP BY 1, 2
 PIPELINE_QUERIES: dict = {
     "event_window_counts": q_event_window_counts,
     "event_sessions": q_event_sessions,
+    "dataset_splits": q_dataset_splits,
+    "contamination": q_contamination,
     "text_stats": q_text_stats,
     "lang_id": q_lang_id,
     "fingerprints": q_fingerprints,
@@ -242,6 +254,8 @@ PIPELINE_QUERIES: dict = {
 PIPELINE_ORACLES: dict = {
     "event_window_counts": SQL_EVENT_WINDOW_COUNTS,
     "event_sessions": SQL_EVENT_SESSIONS,
+    "dataset_splits": curation.SQL_DATASET_SPLITS,
+    "contamination": curation.SQL_CONTAMINATION,
     "text_stats": textstats.SQL_TEXT_STATS,
     "lang_id": textstats.SQL_LANG_ID,
     "fingerprints": textstats.SQL_FINGERPRINTS,

@@ -294,3 +294,40 @@ def test_event_sessions_single_exchange(spark):
             assert gap_us > SESSION_GAP_US, (user, a.session_id)
         for s in sess:
             assert s.duration_us >= 0 and s.n_events >= 1
+
+
+def test_dataset_splits_deterministic_and_shuffle_free(spark):
+    """Hash splits: zero-Exchange plan, stable across runs, ratios in
+    the right ballpark, and salt-decorrelated from raw hash60(doc_id)."""
+    from search_engine_spark.pipeline import curation
+
+    sf = "/root/testdata/sf0.01"
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    out = curation.dataset_splits(docs)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+    a = {r.doc_id: r.split for r in out.collect()}
+    b = {r.doc_id: r.split for r in curation.dataset_splits(docs).collect()}
+    assert a == b and len(a) == 500
+    frac_train = sum(v == "train" for v in a.values()) / len(a)
+    assert 0.8 < frac_train < 0.97
+
+
+def test_contamination_finds_planted_overlap(spark):
+    """A training doc sharing a long passage with an eval doc must be
+    flagged; disjoint docs must not."""
+    from search_engine_spark.pipeline import curation
+
+    passage = ("the quick brown fox jumps over the lazy dog while the "
+               "rain in spain stays mainly on the plain tonight")
+    rows = [
+        (0, f"EVAL {passage} end of benchmark text"),          # eval (0 % 50 == 0)
+        (1, f"training copy {passage} with extra words"),      # contaminated
+        (2, "completely unrelated content about databases and "
+            "distributed execution engines with columnar files"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r.doc_id: r.n_shared_grams for r in curation.contamination(docs).collect()}
+    assert 1 in got and got[1] >= curation.CONTAM_MIN_SHARED
+    assert 2 not in got
+    assert 0 not in got  # eval docs excluded from the output

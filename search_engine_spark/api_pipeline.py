@@ -92,6 +92,11 @@ def q_ann_ivf_topk(spark, sf_dir):
     return embeddings.ann_ivf_topk(_embs(spark, sf_dir))
 
 
+def q_ann_sq_topk(spark, sf_dir):
+    """Scalar-quantized (int8) ANN: approx rank from codes, exact re-rank."""
+    return embeddings.ann_sq_topk(_embs(spark, sf_dir))
+
+
 # --- multimodal -----------------------------------------------------------
 
 
@@ -247,6 +252,7 @@ PIPELINE_QUERIES: dict = {
     "ann_brute_topk": q_ann_brute_topk,
     "ann_lsh_topk": q_ann_lsh_topk,
     "ann_ivf_topk": q_ann_ivf_topk,
+    "ann_sq_topk": q_ann_sq_topk,
     "multimodal_features": q_multimodal_features,
     "video_frames": q_video_frames,
 }
@@ -269,6 +275,7 @@ PIPELINE_ORACLES: dict = {
     "ann_brute_topk": embeddings.SQL_ANN_BRUTE_TOPK,
     "ann_lsh_topk": embeddings.SQL_ANN_LSH_TOPK,
     "ann_ivf_topk": embeddings.SQL_ANN_IVF_TOPK,
+    "ann_sq_topk": embeddings.SQL_ANN_SQ_TOPK,
     "multimodal_features": multimodal.SQL_MULTIMODAL_FEATURES,
     "video_frames": multimodal.SQL_VIDEO_FRAMES,
 }

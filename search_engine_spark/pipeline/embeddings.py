@@ -761,3 +761,199 @@ def ann_ivf_topk_partitioned(spark, path: str) -> DataFrame:
         ).alias("cosine"),
     )
     return _ranked_topk(scored)
+
+
+# --- scalar-quantized (int8) ANN ------------------------------------------
+
+SQ_LEVELS = 255        # codes 0..255 (uint8 range)
+SQ_OVERSAMPLE = 4      # approx top-(k*OVERSAMPLE) candidates, exact re-rank
+
+
+def _collect_dim_stats(n: DataFrame) -> tuple[list[float], list[float]]:
+    """(mins, scales) per dimension for the scalar quantizer — one
+    aggregation job collapsing the corpus to 2 x 64 doubles (the
+    quantizer's codebook; ships to executors in a closure exactly like
+    the IVF centroids). min/max are exact (no arithmetic), so the
+    oracle recomputing them in SQL gets bit-identical values."""
+    aggs = []
+    for i in range(1, EMB_DIM + 1):
+        aggs.append(F.min(F.element_at("v", i)).alias(f"mn{i}"))
+        aggs.append(F.max(F.element_at("v", i)).alias(f"mx{i}"))
+    row = n.agg(*aggs).collect()[0]
+    mins = [float(row[f"mn{i}"]) for i in range(1, EMB_DIM + 1)]
+    maxs = [float(row[f"mx{i}"]) for i in range(1, EMB_DIM + 1)]
+    scales = [
+        (SQ_LEVELS / (mx - mn)) if mx > mn else 0.0
+        for mn, mx in zip(mins, maxs)
+    ]
+    return mins, scales
+
+
+def ann_sq_topk(embs: DataFrame) -> DataFrame:
+    """(query_id, rank, vec_id, cosine) — scalar-quantized ANN: the
+    corpus compresses to one uint8 code per dimension (8x smaller than
+    float64), approximate scores rank candidates from the codes alone,
+    and the top ``ANN_K * SQ_OVERSAMPLE`` per query are exactly
+    re-ranked. The compression/recall trade is measured in tests
+    against brute force.
+
+    Scale shape: quantization is one narrow Arrow pass (codes live
+    beside the vector the way a serving system stores them — at 100 TB
+    only the code column is scanned for candidate generation, 8x less
+    IO); candidate scoring is the same narrow pass with the 10
+    full-precision queries in the closure (asymmetric SQ: query side
+    unquantized, corpus side dequantized); only the tiny
+    (query, vec_id, approx) relation shuffles for the per-query top-M.
+
+    Oracle parity: min/max are exact; quantize =
+    ``clamp(round((x - min) * scale + 1e-9), 0, 255)`` with the shared
+    pre-round epsilon; dequantized dot products accumulate in dimension
+    order (the engines' sequential fold); approx scores round to 6dp
+    before the (approx DESC, vec_id ASC) cut, so both engines select
+    the identical candidate set; the exact re-rank is the shared
+    ``_dot``/6dp path."""
+    import numpy as np
+
+    n = _vectors(embs)
+    mins_l, scales_l = _collect_dim_stats(n)
+    mins = np.asarray(mins_l)
+    scales = np.asarray(scales_l)
+    qrows = (
+        n.filter(F.col("vec_id") < N_QUERIES)
+        .select("vec_id", "v", "nrm")
+        .orderBy("vec_id")
+        .collect()
+    )
+    qids = np.asarray([int(r.vec_id) for r in qrows])
+    Q = np.asarray([[float(x) for x in r.v] for r in qrows])
+
+    def score(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                yield pd.DataFrame(
+                    {"query_id": pd.Series([], dtype="int64"),
+                     "vec_id": pd.Series([], dtype="int64"),
+                     "approx": pd.Series([], dtype="float64")}
+                )
+                continue
+            V = np.stack(pdf["v"].to_numpy())
+            codes = np.clip(
+                np.round((V - mins[None, :]) * scales[None, :] + 1e-9),
+                0, SQ_LEVELS,
+            )
+            # asymmetric dequantized dot, accumulated in dim order
+            deq_scale = np.where(scales > 0, 1.0 / np.where(scales > 0, scales, 1.0), 0.0)
+            acc = np.zeros((len(pdf), len(qids)))
+            for d in range(EMB_DIM):
+                deq_d = codes[:, d] * deq_scale[d] + mins[d]
+                acc += deq_d[:, None] * Q[None, :, d]
+            approx = np.round(acc + 1e-9, 6)
+            vec_ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            out = pd.DataFrame({
+                "query_id": np.repeat(qids, len(pdf)),
+                "vec_id": np.tile(vec_ids, len(qids)),
+                "approx": approx.T.reshape(-1),
+            })
+            yield out
+
+    scored = n.mapInPandas(
+        score, schema="query_id long, vec_id long, approx double"
+    ).filter(F.col("query_id") != F.col("vec_id"))
+
+    from pyspark.sql import Window
+
+    wnd = Window.partitionBy("query_id").orderBy(
+        F.desc("approx"), F.asc("vec_id")
+    )
+    cand = (
+        scored.withColumn("crank", F.row_number().over(wnd))
+        .filter(F.col("crank") <= ANN_K * SQ_OVERSAMPLE)
+        .select("query_id", "vec_id")
+    )
+    q = n.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"),
+    )
+    exact = (
+        cand.join(n, "vec_id")
+        .join(F.broadcast(q), "query_id")
+        .select(
+            "query_id",
+            "vec_id",
+            _round6(
+                _dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("nrm"))
+            ).alias("cosine"),
+        )
+    )
+    return _ranked_topk(exact)
+
+
+SQL_ANN_SQ_TOPK = rf"""
+WITH {_SQL_VECTORS},
+stats AS (
+    SELECT {", ".join(
+        f"min(v[{i}]) AS mn{i}, max(v[{i}]) AS mx{i}"
+        for i in range(1, EMB_DIM + 1)
+    )}
+    FROM n
+),
+codebook AS (
+    SELECT [{", ".join(f"mn{i}" for i in range(1, EMB_DIM + 1))}] AS mins,
+           [{", ".join(
+               f"CASE WHEN mx{i} > mn{i} THEN {SQ_LEVELS} / (mx{i} - mn{i}) "
+               f"ELSE 0.0 END"
+               for i in range(1, EMB_DIM + 1)
+           )}] AS scales
+    FROM stats
+),
+codes AS (
+    SELECT vec_id, v, nrm,
+           list_transform(
+               list_zip(v, mins, scales),
+               x -> greatest(0.0, least({SQ_LEVELS}.0,
+                    round((x[1] - x[2]) * x[3] + 1e-9)))
+           ) AS code
+    FROM n CROSS JOIN codebook
+),
+deq AS (
+    SELECT vec_id,
+           list_transform(
+               list_zip(code, mins, scales),
+               x -> x[1] * (CASE WHEN x[3] > 0 THEN 1.0 / x[3] ELSE 0.0 END)
+                    + x[2]
+           ) AS dv
+    FROM codes CROSS JOIN codebook
+),
+approx AS (
+    SELECT q.vec_id AS query_id, d.vec_id,
+           round({_sql_dot('d.dv', 'q.v')} + 1e-9, 6) AS approx
+    FROM n q JOIN deq d ON q.vec_id < {N_QUERIES} AND q.vec_id <> d.vec_id
+),
+cand AS (
+    SELECT query_id, vec_id FROM (
+        SELECT query_id, vec_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY approx DESC, vec_id ASC) AS crank
+        FROM approx
+    ) WHERE crank <= {ANN_K * SQ_OVERSAMPLE}
+),
+exact AS (
+    SELECT c.query_id, c.vec_id,
+           round({_sql_dot('q.v', 'x.v')} / (q.nrm * x.nrm) + 1e-9, 6)
+               AS cosine
+    FROM cand c
+    JOIN n x ON x.vec_id = c.vec_id
+    JOIN n q ON q.vec_id = c.query_id
+),
+ranked AS (
+    SELECT query_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY cosine DESC, vec_id ASC)::INTEGER AS rank,
+           vec_id, cosine
+    FROM exact
+)
+SELECT query_id, rank, vec_id, cosine FROM ranked WHERE rank <= {ANN_K}
+"""

@@ -331,3 +331,17 @@ def test_contamination_finds_planted_overlap(spark):
     assert 1 in got and got[1] >= curation.CONTAM_MIN_SHARED
     assert 2 not in got
     assert 0 not in got  # eval docs excluded from the output
+
+
+def test_sq_recall_reasonable(spark):
+    """Scalar-quantized ANN (uint8 codes + oversampled exact re-rank)
+    must recover most of the brute-force top-k — 8-bit quantization of
+    64-dim vectors loses little ranking signal."""
+    sf = "/root/testdata/sf0.001"
+    embs = spark.read.parquet(f"{sf}/embeddings.parquet")
+    brute = {
+        (r.query_id, r.vec_id) for r in emb.ann_brute_topk(embs).collect()
+    }
+    sq = {(r.query_id, r.vec_id) for r in emb.ann_sq_topk(embs).collect()}
+    recall = len(brute & sq) / len(brute)
+    assert recall > 0.8, f"SQ recall collapsed: {recall:.2f}"

@@ -152,6 +152,12 @@ def cosine_neardup_lsh_pairs(docs_embs: DataFrame) -> DataFrame:
         F.col("v").alias("vb"),
         F.col("nrm").alias("nb"),
     )
+    # Exact re-check stays a JVM projection: an Arrow-kernel variant was
+    # measured SLOWER at the sf1 point (the candidate relation carries
+    # both 64-dim vectors per pair, and shipping ~700 MB of Arrow
+    # batches to Python costs more than the interpreted fold saves) —
+    # the opposite trade from `_sketch_bits`, where the kernel input is
+    # one vector per ROW, not per candidate pair.
     return (
         pairs.join(va, "vec_id_a")
         .join(vb, "vec_id_b")
@@ -199,32 +205,52 @@ def ann_brute_topk(embs: DataFrame) -> DataFrame:
 
 
 def _sketch_bits(n: DataFrame) -> DataFrame:
-    """(vec_id, v, nrm, band_idx, band_val) — LSH band keys per vector."""
-    bits = [
-        (
-            _round6(
-                _dot(
-                    F.col("v"),
-                    F.array(*[F.lit(float(s)) for s in HYPERPLANES[p]]),
-                )
-            )
-            > 0
-        ).cast("int")
-        for p in range(LSH_PLANES)
-    ]
+    """(vec_id, v, nrm, band_idx, band_val) — LSH band keys per vector.
+
+    ONE narrow Arrow pass computes all 16 hyperplane projections
+    (same rationale as :func:`_assign_cells`: the 16 x 64
+    literal-hyperplane higher-order-function form evaluates interpreted
+    per row — measured as the dominant cost of every LSH gate at the
+    sf1 scale point). Bit parity with the previous expression form is
+    exact: projections accumulate in dimension order (the engines'
+    sequential fold), the sign test applies the shared 6dp round +
+    1e-9 epsilon, and band values pack the same little-endian 4-bit
+    groups. The oracle SQL is untouched — it hash-matches both forms.
+    """
+    import numpy as np
+
+    H = np.asarray(HYPERPLANES, dtype=np.float64)
     width = LSH_PLANES // LSH_BANDS
-    band_vals = [
-        sum(bits[b * width + j] * (1 << j) for j in range(width))
-        for b in range(LSH_BANDS)
-    ]
-    return n.select(
+
+    def sketch(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                yield pdf.assign(band_vals=pd.Series([], dtype=object))
+                continue
+            V = np.stack(pdf["v"].to_numpy())
+            acc = np.zeros((len(pdf), LSH_PLANES))
+            for d in range(H.shape[1]):
+                acc += V[:, d, None] * H[None, :, d]
+            bits = (np.round(acc + 1e-9, 6) > 0).astype(np.int64)
+            vals = np.zeros((len(pdf), LSH_BANDS), dtype=np.int64)
+            for b in range(LSH_BANDS):
+                for j in range(width):
+                    vals[:, b] |= bits[:, b * width + j] << j
+            yield pdf.assign(band_vals=list(vals))
+
+    sk = n.mapInPandas(
+        sketch,
+        schema="vec_id long, v array<double>, nrm double, "
+               "band_vals array<bigint>",
+    )
+    return sk.select(
         "vec_id",
         "v",
         "nrm",
-        F.posexplode(F.array(*[bv.cast("int") for bv in band_vals])).alias(
-            "band_idx", "band_val"
-        ),
-    )
+        F.posexplode("band_vals").alias("band_idx", "band_val"),
+    ).withColumn("band_val", F.col("band_val").cast("int"))
 
 
 def ann_lsh_topk(embs: DataFrame) -> DataFrame:

@@ -38,8 +38,15 @@ from .common import hash60_col, round6_col, shingles_col, sql_hash60, sql_shingl
 
 MINHASH_K = 32       # signature length
 LSH_BANDS = 8        # bands of MINHASH_K // LSH_BANDS rows each
-SIMHASH_BITS = 32
-SIMHASH_BANDS = 4    # 4 bands x 8 bits
+SIMHASH_BITS = 60    # full width of the hash60 base (bit 60+ of the term
+                     # hash is always 0, and 60 bits keeps every band-value
+                     # and signature literal inside signed int64 in BOTH
+                     # engines — 64 bits would need unsigned wraparound)
+SIMHASH_BANDS = 4    # 4 bands x 15 bits (32,768 band values per band: an
+                     # 8-bit band space has only 256 keys, so at web scale
+                     # EVERY value exceeds BAND_CAP and the cap silently
+                     # drops all candidates — 15-bit keys keep bucket
+                     # populations small so the cap only trims true clones)
 HAMMING_MAX = 6      # report pairs with hamming distance <= 6 among candidates
 JACCARD_MIN = 0.05   # n-gram Jaccard report threshold
 DF_CAP = 100         # drop shingles shared by more than this many docs
@@ -344,15 +351,33 @@ def simhash_signatures(docs: DataFrame) -> DataFrame:
 def simhash_pairs(docs: DataFrame) -> DataFrame:
     """(doc_id_a, doc_id_b, hamming) — banded Hamming-distance pairs.
 
-    Candidates share at least one of 4 8-bit bands (pigeonhole-complete
+    Candidates share at least one of 4 15-bit bands (pigeonhole-complete
     for hd <= 3); reported at hd <= HAMMING_MAX. Band values shared by
     more than ``BAND_CAP`` docs are dropped before the self-join — the
     same hot-bucket skew bound as :func:`minhash_pairs` (a boilerplate
     band value means one quadratic task at scale; those clusters are
-    exact-dedup territory, not SimHash's).
+    exact-dedup territory, not SimHash's). The 15-bit band width is the
+    scale guard: with the old 8-bit bands every one of the 256 possible
+    values is hot at web scale, so the cap silently dropped ALL
+    candidates (recall -> 0 while 'running fine'); 32,768-value bands
+    keep typical bucket populations under the cap — see
+    tests/test_pipeline_units.py::test_simhash_wide_bands_survive_cap.
     """
-    sig = simhash_signatures(docs)
-    width = SIMHASH_BITS // SIMHASH_BANDS
+    return banded_hamming_pairs(simhash_signatures(docs))
+
+
+def banded_hamming_pairs(
+    sig: DataFrame,
+    bits: int = SIMHASH_BITS,
+    n_bands: int = SIMHASH_BANDS,
+    cap: int = BAND_CAP,
+    hamming_max: int = HAMMING_MAX,
+) -> DataFrame:
+    """Banded Hamming join over a (doc_id, simhash) relation — the
+    candidate-generation core of :func:`simhash_pairs`, factored so the
+    band-width/cap interaction is directly unit-testable on planted
+    signatures."""
+    width = bits // n_bands
     bands = sig.select(
         "doc_id",
         "simhash",
@@ -361,7 +386,7 @@ def simhash_pairs(docs: DataFrame) -> DataFrame:
                 *[
                     F.shiftright(F.col("simhash"), b * width)
                     .bitwiseAND(F.lit((1 << width) - 1))
-                    for b in range(SIMHASH_BANDS)
+                    for b in range(n_bands)
                 ]
             )
         ).alias("band_idx", "band_val"),
@@ -369,7 +394,7 @@ def simhash_pairs(docs: DataFrame) -> DataFrame:
     kept = bands.join(
         bands.groupBy("band_idx", "band_val")
         .agg(F.count(F.lit(1)).alias("bdf"))
-        .filter(F.col("bdf") <= BAND_CAP)
+        .filter(F.col("bdf") <= cap)
         .select("band_idx", "band_val"),
         ["band_idx", "band_val"],
     )
@@ -391,7 +416,7 @@ def simhash_pairs(docs: DataFrame) -> DataFrame:
             ).cast("int").alias("hamming"),
         )
         .distinct()
-        .filter(F.col("hamming") <= HAMMING_MAX)
+        .filter(F.col("hamming") <= hamming_max)
     )
     return pairs
 

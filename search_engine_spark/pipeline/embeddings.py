@@ -43,9 +43,21 @@ from .common import round6_col as _round6
 NEARDUP_MIN_COS = 0.3   # report threshold for near-dup pairs
 ANN_K = 10              # neighbors returned per query
 N_QUERIES = 10          # query vectors = vec_id < 10
-LSH_PLANES = 16         # hyperplanes (sketch bits)
-LSH_BANDS = 4           # bands of LSH_PLANES // LSH_BANDS bits
+LSH_PLANES = 16         # ANN sketch: hyperplanes (probe side is N_QUERIES
+LSH_BANDS = 4           # broadcast rows, so narrow 4-bit bands stay linear)
 EMB_DIM = 64
+
+# Near-dup self-join sketch: deliberately WIDER than the ANN sketch.
+# The near-dup candidate join is bands x sum(bucket^2) over band buckets;
+# with 4-bit band values (16 keys) every bucket holds ~N/16 of the corpus
+# and the join is Theta(N^2) — measured 17x at a 10x scale-up. 16-bit
+# band values (65,536 keys) make bucket populations small and
+# corpus-growth-linear, and NEARDUP_BAND_CAP bounds any residual hot
+# band (boilerplate/clone clusters — exact-dedup territory) exactly like
+# the MinHash path's BAND_CAP.
+NEARDUP_PLANES = 128    # 8 bands x 16 bits
+NEARDUP_BANDS = 8
+NEARDUP_BAND_CAP = 100  # drop band values shared by more than this many vecs
 
 
 def _plane_sign(p: int, d: int) -> int:
@@ -54,9 +66,13 @@ def _plane_sign(p: int, d: int) -> int:
     return (int(h[:15], 16) & 1) * 2 - 1
 
 
-HYPERPLANES: list[list[int]] = [
-    [_plane_sign(p, d) for d in range(EMB_DIM)] for p in range(LSH_PLANES)
-]
+def _hyperplanes(planes: int) -> list[list[int]]:
+    return [
+        [_plane_sign(p, d) for d in range(EMB_DIM)] for p in range(planes)
+    ]
+
+
+HYPERPLANES: list[list[int]] = _hyperplanes(LSH_PLANES)
 
 
 # --- Spark column kernels -------------------------------------------------
@@ -111,22 +127,39 @@ def cosine_neardup_pairs(docs_embs: DataFrame) -> DataFrame:
 def cosine_neardup_lsh_pairs(docs_embs: DataFrame) -> DataFrame:
     """(vec_id_a, vec_id_b, cosine) — near-dup pairs at sub-quadratic cost.
 
-    Candidate generation is the banded random-hyperplane LSH equi-join
-    (pairs must share >= 1 of the 4 4-bit bands — the same band keys as
-    :func:`ann_lsh_topk`); every candidate is then re-checked with the
-    exact cosine and reported iff cosine >= 0.3. Same semantics as
-    :func:`cosine_neardup_pairs` restricted to band-colliding pairs —
-    this is the gated/scale shape (no cartesian plan anywhere: the only
-    joins are the band equi-join and two id equi-joins back to the
-    vector table). Recall vs the exact all-pairs version is measured in
-    tests/test_pipeline_units.py; the all-pairs version stays as the
-    recall oracle only. At 10^9 rows the band join is a shuffle
-    partitioned by (band_idx, band_val); write-time bucketing turns it
-    into a co-located join — see :func:`write_band_bucketed`.
+    Candidate generation is the banded random-hyperplane LSH equi-join:
+    pairs must share >= 1 of ``NEARDUP_BANDS`` 16-bit bands (the wide
+    self-join sketch — see the constants block for why this is wider
+    than the ANN sketch); every candidate is then re-checked with the
+    exact cosine and reported iff cosine >= 0.3. Band values shared by
+    more than ``NEARDUP_BAND_CAP`` vectors are dropped before the
+    self-join — the same hot-bucket skew bound as the MinHash path (a
+    hot band value means one quadratic task; clone clusters are exact
+    dedup's job, not LSH's). Same semantics as
+    :func:`cosine_neardup_pairs` restricted to band-colliding,
+    cap-surviving pairs — this is the gated/scale shape (no cartesian
+    plan anywhere: the only joins are the band equi-join and two id
+    equi-joins back to the vector table). Recall on planted near-dups
+    is measured in tests/test_pipeline_units.py; with 16-bit bands,
+    recall is concentrated on genuinely-near pairs (cosine >~ 0.9) —
+    the LSH design point — and mid-similarity pairs (~0.3-0.5) are
+    mostly NOT candidates; the all-pairs version is the exhaustive
+    oracle when that tail matters. At 10^9 rows the band join is a
+    shuffle partitioned by (band_idx, band_val); write-time bucketing
+    turns it into a co-located join — see :func:`write_band_bucketed`.
     """
     n = _vectors(docs_embs)
-    sk = _sketch_bits(n).select("vec_id", "band_idx", "band_val")
-    a, b = sk.alias("a"), sk.alias("b")
+    sk = _sketch_bits(n, NEARDUP_PLANES, NEARDUP_BANDS).select(
+        "vec_id", "band_idx", "band_val"
+    )
+    kept = sk.join(
+        sk.groupBy("band_idx", "band_val")
+        .agg(F.count(F.lit(1)).alias("bdf"))
+        .filter(F.col("bdf") <= NEARDUP_BAND_CAP)
+        .select("band_idx", "band_val"),
+        ["band_idx", "band_val"],
+    )
+    a, b = kept.alias("a"), kept.alias("b")
     pairs = (
         a.join(
             b,
@@ -204,23 +237,25 @@ def ann_brute_topk(embs: DataFrame) -> DataFrame:
     return _ranked_topk(scored)
 
 
-def _sketch_bits(n: DataFrame) -> DataFrame:
+def _sketch_bits(
+    n: DataFrame, planes: int = LSH_PLANES, bands: int = LSH_BANDS
+) -> DataFrame:
     """(vec_id, v, nrm, band_idx, band_val) — LSH band keys per vector.
 
-    ONE narrow Arrow pass computes all 16 hyperplane projections
-    (same rationale as :func:`_assign_cells`: the 16 x 64
+    ONE narrow Arrow pass computes all ``planes`` hyperplane projections
+    (same rationale as :func:`_assign_cells`: the planes x 64
     literal-hyperplane higher-order-function form evaluates interpreted
     per row — measured as the dominant cost of every LSH gate at the
-    sf1 scale point). Bit parity with the previous expression form is
+    sf1 scale point). Bit parity with the expression/SQL form is
     exact: projections accumulate in dimension order (the engines'
     sequential fold), the sign test applies the shared 6dp round +
-    1e-9 epsilon, and band values pack the same little-endian 4-bit
-    groups. The oracle SQL is untouched — it hash-matches both forms.
+    1e-9 epsilon, and band values pack the same little-endian
+    ``planes // bands``-bit groups.
     """
     import numpy as np
 
-    H = np.asarray(HYPERPLANES, dtype=np.float64)
-    width = LSH_PLANES // LSH_BANDS
+    H = np.asarray(_hyperplanes(planes), dtype=np.float64)
+    width = planes // bands
 
     def sketch(batches):
         import pandas as pd
@@ -230,12 +265,12 @@ def _sketch_bits(n: DataFrame) -> DataFrame:
                 yield pdf.assign(band_vals=pd.Series([], dtype=object))
                 continue
             V = np.stack(pdf["v"].to_numpy())
-            acc = np.zeros((len(pdf), LSH_PLANES))
+            acc = np.zeros((len(pdf), planes))
             for d in range(H.shape[1]):
                 acc += V[:, d, None] * H[None, :, d]
             bits = (np.round(acc + 1e-9, 6) > 0).astype(np.int64)
-            vals = np.zeros((len(pdf), LSH_BANDS), dtype=np.int64)
-            for b in range(LSH_BANDS):
+            vals = np.zeros((len(pdf), bands), dtype=np.int64)
+            for b in range(bands):
                 for j in range(width):
                     vals[:, b] |= bits[:, b * width + j] << j
             yield pdf.assign(band_vals=list(vals))
@@ -334,29 +369,34 @@ SELECT query_id, rank, vec_id, cosine FROM ranked WHERE rank <= {ANN_K}
 
 
 def _sql_plane_literal(p: int) -> str:
-    return "[" + ", ".join(f"{float(s)}" for s in HYPERPLANES[p]) + "]"
+    return "[" + ", ".join(f"{float(s)}" for s in _hyperplanes(p + 1)[p]) + "]"
 
 
-_W = LSH_PLANES // LSH_BANDS
-_SQL_BITS = ",\n           ".join(
-    f"(round({_sql_dot('v', _sql_plane_literal(p))} + 1e-9, 6) > 0)::INTEGER AS bit{p}"
-    for p in range(LSH_PLANES)
-)
-_SQL_BAND_VALS = ", ".join(
-    "(" + " + ".join(f"bit{b * _W + j} * {1 << j}" for j in range(_W)) + ")"
-    for b in range(LSH_BANDS)
-)
+def _sql_bits(planes: int) -> str:
+    return ",\n           ".join(
+        f"(round({_sql_dot('v', _sql_plane_literal(p))} + 1e-9, 6) > 0)::INTEGER AS bit{p}"
+        for p in range(planes)
+    )
+
+
+def _sql_band_vals(planes: int, bands: int) -> str:
+    w = planes // bands
+    return ", ".join(
+        "(" + " + ".join(f"bit{b * w + j} * {1 << j}" for j in range(w)) + ")"
+        for b in range(bands)
+    )
+
 
 SQL_ANN_LSH_TOPK = rf"""
 WITH {_SQL_VECTORS},
 bits AS (
     SELECT vec_id, v, nrm,
-           {_SQL_BITS}
+           {_sql_bits(LSH_PLANES)}
     FROM n
 ),
 sk AS (
     SELECT vec_id, v, nrm,
-           unnest([{_SQL_BAND_VALS}]) AS band_val,
+           unnest([{_sql_band_vals(LSH_PLANES, LSH_BANDS)}]) AS band_val,
            generate_subscripts([{", ".join("1" for _ in range(LSH_BANDS))}], 1) - 1
                AS band_idx
     FROM bits
@@ -387,19 +427,24 @@ SQL_COSINE_NEARDUP_LSH_PAIRS = rf"""
 WITH {_SQL_VECTORS},
 bits AS (
     SELECT vec_id, v, nrm,
-           {_SQL_BITS}
+           {_sql_bits(NEARDUP_PLANES)}
     FROM n
 ),
 sk AS (
     SELECT vec_id,
-           unnest([{_SQL_BAND_VALS}]) AS band_val,
-           generate_subscripts([{", ".join("1" for _ in range(LSH_BANDS))}], 1) - 1
+           unnest([{_sql_band_vals(NEARDUP_PLANES, NEARDUP_BANDS)}]) AS band_val,
+           generate_subscripts([{", ".join("1" for _ in range(NEARDUP_BANDS))}], 1) - 1
                AS band_idx
     FROM bits
 ),
+kept AS (
+    SELECT sk.* FROM sk
+    JOIN (SELECT band_idx, band_val FROM sk GROUP BY 1, 2
+          HAVING count(*) <= {NEARDUP_BAND_CAP}) k USING (band_idx, band_val)
+),
 pairs AS (
     SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
-    FROM sk a JOIN sk b
+    FROM kept a JOIN kept b
       ON a.band_idx = b.band_idx AND a.band_val = b.band_val
      AND a.vec_id < b.vec_id
 )

@@ -111,10 +111,27 @@ def test_video_frames_shape(spark):
 
 def test_cosine_neardup_lsh_subset_and_recall(spark):
     """Banded near-dup pairs must be a subset of the exact all-pairs
-    result (same threshold) with usable recall; the all-pairs version is
-    the recall oracle only (the gated query is the banded one)."""
-    sf = "/root/testdata/sf0.001"
-    embs = spark.read.parquet(f"{sf}/embeddings.parquet")
+    result (same threshold, exact cosines), and recall on PLANTED true
+    near-duplicates (cosine ~0.999) must be high. The 16-bit bands are
+    deliberately selective: mid-similarity pairs (cosine ~0.3-0.5) are
+    mostly not candidates — that tail is the all-pairs oracle's job, the
+    LSH gate's design point is genuine near-dups."""
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    rows = []
+    for i in range(200):  # background: random directions, cosine ~ 0
+        rows.append((i, [float(x) for x in rng.randn(emb.EMB_DIM)]))
+    planted = []
+    for p in range(20):  # planted true near-dups: v and v + 1% noise
+        v = rng.randn(emb.EMB_DIM)
+        w = v + 0.01 * rng.randn(emb.EMB_DIM)
+        a, b = 1000 + 2 * p, 1001 + 2 * p
+        rows += [(a, [float(x) for x in v]), (b, [float(x) for x in w])]
+        planted.append((a, b))
+    embs = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>"
+    )
     brute = {
         (r.vec_id_a, r.vec_id_b): r.cosine
         for r in emb.cosine_neardup_pairs(embs).collect()
@@ -126,9 +143,65 @@ def test_cosine_neardup_lsh_subset_and_recall(spark):
     assert set(lsh) <= set(brute)
     for k, v in lsh.items():
         assert v == brute[k], k  # exact cosine re-check, not an estimate
-    assert len(brute) > 0
-    recall = len(lsh) / len(brute)
-    assert recall > 0.2, f"banded near-dup recall collapsed: {recall:.2f}"
+    found = sum(1 for p in planted if p in lsh)
+    assert found >= 18, f"planted near-dup recall collapsed: {found}/20"
+
+
+def test_cosine_neardup_hot_band_cap_bounds_skew(spark):
+    """NEARDUP_BAND_CAP + 20 identical vectors share every band key —
+    the cap must drop those keys before the self-join (no quadratic
+    clone-cluster blow-up; clone clusters are exact dedup's job), while
+    a genuine near-dup pair on cold bands is still found."""
+    import numpy as np
+
+    rng = np.random.RandomState(11)
+    n_hot = emb.NEARDUP_BAND_CAP + 20
+    clone = [float(x) for x in rng.randn(emb.EMB_DIM)]
+    rows = [(i, clone) for i in range(n_hot)]
+    v = rng.randn(emb.EMB_DIM)
+    w = v + 0.01 * rng.randn(emb.EMB_DIM)
+    rows += [
+        (n_hot, [float(x) for x in v]),
+        (n_hot + 1, [float(x) for x in w]),
+    ]
+    embs = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>"
+    )
+    got = {
+        (r.vec_id_a, r.vec_id_b)
+        for r in emb.cosine_neardup_lsh_pairs(embs).collect()
+    }
+    assert got == {(n_hot, n_hot + 1)}, sorted(got)[:5]
+
+
+def test_simhash_wide_bands_survive_cap(spark):
+    """Planted corpus where EVERY 8-bit band value is hot (>BAND_CAP):
+    narrow 8-bit banding caps away all candidates (recall silently -> 0,
+    the r3 scale bug), while the shipped 15-bit bands still find the
+    planted hd=1 near-dup because its wide band values stay cold."""
+    import random
+
+    from search_engine_spark.pipeline import dedup
+
+    rnd = random.Random(13)
+    sig_a = rnd.getrandbits(60)
+    sig_b = sig_a ^ 1  # hamming distance 1
+    low32 = sig_a & 0xFFFFFFFF
+    rows = [(1000, sig_a), (1001, sig_b)]
+    # background shares sig_a's low 32 bits (so all four 8-bit band
+    # values are shared by 150+ docs) but has random high bits
+    for i in range(dedup.BAND_CAP + 50):
+        rows.append((i, (rnd.getrandbits(28) << 32) | low32))
+    sig = spark.createDataFrame(rows, "doc_id long, simhash long")
+
+    narrow = dedup.banded_hamming_pairs(sig, bits=32, n_bands=4).collect()
+    assert narrow == [], narrow[:5]  # the 8-bit cap cliff: zero recall
+
+    wide = {
+        (r.doc_id_a, r.doc_id_b, r.hamming)
+        for r in dedup.banded_hamming_pairs(sig).collect()
+    }
+    assert (1000, 1001, 1) in wide, sorted(wide)[:5]
 
 
 def test_fingerprints_plan_is_shuffle_free(spark):

@@ -613,10 +613,22 @@ def run_scaling_concurrent(base_cores: int, n_pages: int, seed: int = 42) -> dic
             cmd, stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, env=env)))
     res = {}
     (lo_label, lo_cores, lo_out, lo_p), (hi_label, hi_cores, hi_out, hi_p) = procs
-    lo_raw, _ = lo_p.communicate()
-    if lo_p.returncode != 0:
-        raise RuntimeError(f"low worker failed rc={lo_p.returncode}")
-    Path(f"{hi_out}.stop").write_text("done")
+    try:
+        lo_raw, _ = lo_p.communicate()
+        lo_rc = lo_p.returncode
+    finally:
+        # the stop marker + reap must happen even when the low worker
+        # fails — otherwise the repeats=0 high worker loops forever as
+        # an orphaned CPU-burning process
+        Path(f"{hi_out}.stop").write_text("done")
+        if lo_p.returncode is None or lo_p.returncode != 0:
+            try:
+                hi_raw, _ = hi_p.communicate(timeout=600)
+            except Exception:
+                hi_p.kill()
+                hi_p.communicate()
+    if lo_rc != 0:
+        raise RuntimeError(f"low worker failed rc={lo_rc}")
     hi_raw, _ = hi_p.communicate()
     if hi_p.returncode != 0:
         raise RuntimeError(f"high worker failed rc={hi_p.returncode}")
@@ -754,7 +766,17 @@ def main() -> None:
             result = run_scaling(args.base_cores, args.pages, mode=args.mode)
     else:
         result = run_default()
-    print(json.dumps(result))
+    # one JSON line on stdout (the driver contract) AND the same JSON
+    # in a file next to this script — BENCH_r03.json was truncated by
+    # the caller's stdout capture, so the file is the durable artifact
+    out_path = Path(__file__).resolve().parent / "bench_out.json"
+    result["artifact"] = str(out_path)
+    line = json.dumps(result)
+    try:
+        out_path.write_text(line + "\n")
+    except OSError:
+        pass  # read-only checkout: stdout still carries the result
+    print(line)
 
 
 if __name__ == "__main__":

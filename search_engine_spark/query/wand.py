@@ -80,7 +80,7 @@ def maxscore_topk(
     term_entries: list[dict],
     dls: np.ndarray,
     avgdl: float,
-    k: int,
+    k: int | None,
     k1: float = 1.2,
     b: float = 0.75,
 ) -> list[tuple[int, float]]:
@@ -89,6 +89,10 @@ def maxscore_topk(
     term_entries: [{postings, blockmeta, idf, qtf}] for each query term
     present in the bucket. dls: dense doc_idx -> dl array for the bucket.
     Returns [(doc_idx, score)] ranked by (round(score,6) DESC, doc_idx ASC).
+    ``k=None`` returns the FULL ranked list of matched docs (the
+    reference's poll endpoint serves the entire ranked list,
+    src/server.rs:98-105) — theta pruning is disabled, every term is
+    decoded exhaustively.
     """
     n_docs = len(dls)
     if not term_entries or n_docs == 0:
@@ -114,6 +118,8 @@ def maxscore_topk(
         ids, tfs = decode_postings(postings, meta)
         norms = bm25_norm(tfs, dls[ids], avgdl, k1=k1, b=b)
         acc[ids] += weight * norms
+        if k is None:
+            continue  # full-list mode: never raise theta, decode all
         kth = n_docs - k
         if kth >= 0 and np.count_nonzero(acc) >= k:
             theta = float(np.partition(acc, kth)[kth])
@@ -280,7 +286,12 @@ def _local_query_rows(queries: DataFrame) -> list[tuple[str, str]] | None:
             return None
     except Exception:
         return None
-    return [(r[0], r[1]) for r in queries.collect()]
+    # by-name access: both paths share the (query_id, query_string)
+    # column contract regardless of the caller's column order
+    return [
+        (r.query_id, r.query_string)
+        for r in queries.select("query_id", "query_string").collect()
+    ]
 
 
 CANDIDATE_SCHEMA = StructType(
@@ -296,9 +307,14 @@ def wand_topk(
     spark: SparkSession,
     index_dir: str,
     queries: DataFrame,
-    k: int = TOP_K,
+    k: int | None = TOP_K,
 ) -> DataFrame:
     """(query_id, rank, url, score) — block-max MaxScore over segments.
+
+    ``k=None`` returns the FULL ranked list per query (every matched
+    doc, ranked) — parity with the reference poll endpoint, which
+    returns the entire ranked list, not a top-k cut
+    (/root/reference/src/server.rs:98-105).
 
     Plan: queries are tokenized IN the plan (``query_tokens_col`` —
     no driver-side collect of the query batch, so a 10^5-query batch
@@ -359,11 +375,17 @@ def wand_topk(
         # launching the main job.
         from ..pipeline.common import hash60_col
 
+        # .distinct() before the collect: Catalyst plans a map-side
+        # partial aggregate, so the driver receives only the batch's
+        # distinct VOCABULARY (bounded by the lexicon), not one row per
+        # token occurrence — a 10^5-query batch would otherwise funnel
+        # ~10^6 rows through the driver.
         tok_hashes = (
             queries.select(
                 F.explode(query_tokens_col(F.col("query_string"))).alias("t")
             )
             .select(hash60_col(F.col("t")).alias("h"))
+            .distinct()
             .collect()
         )
         hashes = sorted({r.h for r in tok_hashes} & state["vocab"])
@@ -486,11 +508,10 @@ def wand_topk(
     )
 
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("url"))
-    return (
-        candidates.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "rank", "url", "score")
-    )
+    ranked = candidates.withColumn("rank", F.row_number().over(w))
+    if k is not None:
+        ranked = ranked.filter(F.col("rank") <= k)
+    return ranked.select("query_id", "rank", "url", "score")
 
 
 def _empty_result(spark: SparkSession) -> DataFrame:

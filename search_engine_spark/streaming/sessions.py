@@ -58,10 +58,18 @@ def _make_sessionizer(idle_timeout_ms: int | None):
             )
 
         if state.hasTimedOut:
-            # idle user: flush the open session and drop the state
+            # idle user: flush the open session but KEEP the session
+            # counter as a tombstone (n=0, no open session) — removing
+            # it would restart a returning user at session_id 1 and
+            # emit duplicate (user_id, session_id) keys for downstream
+            # keyed sinks. The tombstone is 5 scalars per ever-seen
+            # user and takes no further timeouts until the user
+            # returns; a deploy that must bound state by ACTIVE users
+            # instead would derive ids from start_us and give up the
+            # batch operator's 1..n per-user numbering.
             if n > 0:
                 close()
-            state.remove()
+            state.update((sid, None, None, 0, 0.0))
         else:
             batch = pd.concat(list(pdfs), ignore_index=True)
             batch = batch.sort_values(["us", "event_id"])

@@ -61,18 +61,25 @@ class TcpServingFrontend:
     launches the batch-serving thread; returns (submit_port, poll_port).
     """
 
+    # mailbox bound for a 24/7 process whose clients never poll: oldest
+    # results are dropped once this many are retained (normal clients
+    # never see it — a successful poll removes its entry, matching the
+    # reference's results.remove, /root/reference/src/lib.rs:325-330)
+    MAILBOX_MAX = 4096
+
     def __init__(
         self,
         spark: SparkSession,
         index_dir: str,
-        k: int = 10,
+        k: int | None = 10,
         host: str = "127.0.0.1",
         submit_port: int = 0,
         poll_port: int = 0,
     ):
         self._spark = spark
         self._index_dir = index_dir
-        self._k = k
+        self._k = k  # None -> serve the FULL ranked list per query,
+        # matching the reference poll endpoint (src/server.rs:98-105)
         self._host = host
         self._ports = (submit_port, poll_port)
         self._lock = threading.Condition()
@@ -80,6 +87,7 @@ class TcpServingFrontend:
         # query_id -> {"documents": [[url, int], ...], "secs": float}
         self._results: dict[str, dict] = {}
         self._stop = False
+        self._serve_thread: threading.Thread | None = None
         self._threads: list[threading.Thread] = []
         self._servers: list[socketserver.ThreadingTCPServer] = []
 
@@ -96,17 +104,24 @@ class TcpServingFrontend:
     def _handle_poll(self, payload: dict) -> dict:
         qid = payload["query_id"]
         with self._lock:
-            res = self._results.get(qid)
+            # a successful poll REMOVES the result — the reference does
+            # the same (results.remove, src/lib.rs:325-330), and it is
+            # what keeps a long-running mailbox bounded
+            res = self._results.pop(qid, None)
         if res is None:
             return {
                 "documents": [["", 0]],
                 "message": NOT_READY,
                 "query_processing_time": _duration(0.0),
             }
+        if "error" in res:
+            msg = f"Query failed: {qid} ({res['error']})"
+        else:
+            msg = (f"Query result: {qid} "
+                   f"({len(res['documents'])} documents)")
         return {
             "documents": res["documents"],
-            "message": f"Query result: {qid} "
-                       f"({len(res['documents'])} documents)",
+            "message": msg,
             "query_processing_time": _duration(res["secs"]),
         }
 
@@ -119,30 +134,45 @@ class TcpServingFrontend:
             with self._lock:
                 while not self._pending and not self._stop:
                     self._lock.wait()
-                if self._stop:
+                if self._stop and not self._pending:
+                    # grace drain: stop only once every accepted query
+                    # has been served (the reference grants the same
+                    # drain window, /root/reference/src/main.rs:389-425)
                     return
                 batch = self._pending
                 self._pending = []
-            qdf = self._spark.createDataFrame(
-                [(qid, q) for qid, q, _ in batch],
-                ["query_id", "query_string"],
-            )
-            rows = wand_topk(
-                self._spark, self._index_dir, qdf, k=self._k
-            ).collect()
-            by_qid: dict[str, list] = {}
-            for r in sorted(rows, key=lambda r: (r.query_id, r.rank)):
-                by_qid.setdefault(r.query_id, []).append(
-                    [r.url, int(round(r.score * 1000))]
+            try:
+                qdf = self._spark.createDataFrame(
+                    [(qid, q) for qid, q, _ in batch],
+                    ["query_id", "query_string"],
                 )
+                rows = wand_topk(
+                    self._spark, self._index_dir, qdf, k=self._k
+                ).collect()
+                by_qid: dict[str, list] = {}
+                for r in sorted(rows, key=lambda r: (r.query_id, r.rank)):
+                    by_qid.setdefault(r.query_id, []).append(
+                        [r.url, int(round(r.score * 1000))]
+                    )
+                err = None
+            except Exception as exc:  # noqa: BLE001 — a transient Spark
+                # failure must not kill the serving thread: record an
+                # error result per qid so every poll terminates, then
+                # keep draining future batches
+                by_qid, err = {}, f"{type(exc).__name__}: {exc}"
             done = time.monotonic()
             with self._lock:
                 for qid, _, t0 in batch:
                     # arrival -> search-complete, queue wait INCLUDED
-                    self._results[qid] = {
+                    res = {
                         "documents": by_qid.get(qid, []),
                         "secs": done - t0,
                     }
+                    if err is not None:
+                        res["error"] = err
+                    self._results[qid] = res
+                while len(self._results) > self.MAILBOX_MAX:
+                    self._results.pop(next(iter(self._results)))
 
     # --- lifecycle --------------------------------------------------------
 
@@ -178,13 +208,19 @@ class TcpServingFrontend:
             self._threads.append(t)
         t = threading.Thread(target=self._serve_loop, daemon=True)
         t.start()
+        self._serve_thread = t
         self._threads.append(t)
         return tuple(s.server_address[1] for s in self._servers)
 
-    def stop(self) -> None:
+    def stop(self, grace_sec: float = 30.0) -> None:
+        """Drain-then-stop: wait up to ``grace_sec`` for the serving
+        thread to finish every accepted query (results stay retrievable
+        via the mailbox / ``_handle_poll``), then close the listeners."""
         with self._lock:
             self._stop = True
             self._lock.notify_all()
+        if self._serve_thread is not None:
+            self._serve_thread.join(timeout=grace_sec)
         for srv in self._servers:
             srv.shutdown()
             srv.server_close()

@@ -106,6 +106,27 @@ def test_wand_rank_identical_to_oracle(spark, index_dir):
         assert abs(ko[key][1] - kf[key][1]) < 2e-6, (key, ko[key], kf[key])
 
 
+def test_wand_full_list_matches_oracle(spark, index_dir):
+    """k=None serves the FULL ranked list (reference poll endpoint
+    parity, src/server.rs:98-105): every matched doc, rank-identical to
+    the uncut brute-force BM25 oracle."""
+    pages = corpus.reference_pages(spark)
+    queries = corpus.reference_queries_df(spark)
+    postings = build_postings(pages)
+    dl = doc_lengths(pages)
+    stats = load_stats(index_dir)
+    ts = term_stats(postings, stats["n_docs"])
+    oracle = bm25_topk(
+        queries, postings, dl, ts, stats["avgdl"], k=10**6
+    ).collect()
+    full = wand_topk(spark, index_dir, queries, k=None).collect()
+    # same (query, rank) -> url mapping over the ENTIRE list
+    ko = {(r.query_id, r.rank): r.url for r in oracle}
+    kf = {(r.query_id, r.rank): r.url for r in full}
+    assert ko == kf
+    assert len(full) > 10 * queries.count() / 2  # genuinely uncut
+
+
 def test_lineage_and_metrics(spark, index_dir):
     lin = read_lineage(spark, index_dir).collect()
     assert {r.bucket for r in lin} == set(range(N_BUCKETS))
@@ -255,6 +276,23 @@ def test_wand_large_query_batch_no_driver_tokenization(spark, index_dir):
             (F.col("id") % len(base)).cast("int") + 1,
         ).alias("query_string"),
     )
+    # the plan path's only driver round-trip is the DISTINCT token-hash
+    # vocabulary (map-side partial agg) — never one row per occurrence
+    from search_engine_spark.functions.tokenize import query_tokens_col
+    from search_engine_spark.pipeline.common import hash60_col
+
+    hash_rel = (
+        big.select(
+            F.explode(query_tokens_col(F.col("query_string"))).alias("t")
+        )
+        .select(hash60_col(F.col("t")).alias("h"))
+        .distinct()
+    )
+    plan = hash_rel._jdf.queryExecution().executedPlan().toString()
+    assert "partial_" in plan or "HashAggregate" in plan, plan
+    n_vocab = hash_rel.count()
+    assert n_vocab < 200  # the batch's vocabulary, not its 10^5 tokens
+
     res = wand_topk(spark, index_dir, big, k=3).collect()
     by_qid: dict[str, list] = {}
     for r in res:

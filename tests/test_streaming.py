@@ -384,3 +384,56 @@ def test_stateful_streaming_sessionization(spark, tmp_path):
         start_us = int((w.session_start - epoch).total_seconds() * 1e6)
         assert abs(g.start_us - start_us) <= 1, k
         assert abs(g.sum_value - w.sum_value) < 1e-6, k
+
+
+def test_idle_timeout_keeps_session_counter():
+    """An idle-timeout flush must NOT reset the per-user session
+    counter: a returning user continues at sid+1, so (user_id,
+    session_id) keys never collide with previously closed sessions
+    (ADVICE r3 #3). Driven directly through the sessionizer with a fake
+    GroupState — the timeout branch is deterministic logic, not
+    stream-timing behavior."""
+    import pandas as pd
+
+    from search_engine_spark.api_pipeline import SESSION_GAP_US
+    from search_engine_spark.streaming.sessions import _make_sessionizer
+
+    class FakeState:
+        def __init__(self):
+            self.exists = False
+            self.hasTimedOut = False
+            self._v = None
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = tuple(v)
+            self.exists = True
+
+        def remove(self):
+            self._v, self.exists = None, False
+
+        def setTimeoutDuration(self, ms):
+            pass
+
+    fn = _make_sessionizer(idle_timeout_ms=1000)
+    st = FakeState()
+
+    def run(pdfs, timed_out=False):
+        st.hasTimedOut = timed_out
+        return pd.concat(list(fn((7,), pdfs, st)), ignore_index=True)
+
+    ev = pd.DataFrame({"us": [0, 10], "event_id": [1, 2], "value": [1.0, 2.0]})
+    out1 = run([ev])
+    assert out1.empty and st._v[0] == 1  # open session, sid=1
+
+    out2 = run([], timed_out=True)  # idle flush closes sid=1 ...
+    assert list(out2.session_id) == [1]
+    assert st.exists and st._v == (1, None, None, 0, 0.0)  # ... counter kept
+
+    later = ev.assign(us=ev.us + 10 * SESSION_GAP_US)
+    run([later])
+    out3 = run([], timed_out=True)
+    assert list(out3.session_id) == [2]  # returning user: sid=2, no reuse

@@ -6,13 +6,25 @@ from __future__ import annotations
 import time
 
 from search_engine_spark import corpus
+from search_engine_spark.index.build import build_postings
 from search_engine_spark.index.segments import build_segments
+from search_engine_spark.query.scoring import query_terms
 from search_engine_spark.streaming.tcp import (
     NOT_READY,
     TcpServingFrontend,
     poll_query,
     submit_query,
 )
+
+
+def _poll_until_done(poll_port, qid, deadline_sec=120):
+    deadline = time.monotonic() + deadline_sec
+    while True:
+        r = poll_query("127.0.0.1", poll_port, qid)
+        if r["message"] != NOT_READY:
+            return r
+        assert time.monotonic() < deadline, "poll timed out"
+        time.sleep(0.2)
 
 
 def test_tcp_submit_poll_roundtrip(spark, tmp_path):
@@ -67,5 +79,77 @@ def test_tcp_submit_poll_roundtrip(spark, tmp_path):
             assert d["secs"] >= 0 and 0 <= d["nanos"] < 1_000_000_000
         # the OOV query completes with an EMPTY result (not the sentinel)
         assert results[qids[2]]["documents"] == []
+    finally:
+        fe.stop()
+
+
+def test_tcp_full_list_error_resilience_evict_and_drain(
+    spark, tmp_path, monkeypatch
+):
+    """Round-4 serving semantics on one index/front-end:
+
+    1. a transient engine failure records an error result (polls
+       terminate, serving thread survives — ADVICE r3 #1);
+    2. k=None serves the FULL ranked list, length == number of docs
+       matching >= 1 query term (reference src/server.rs:98-105);
+    3. a successful poll evicts its mailbox entry (reference's
+       results.remove, src/lib.rs:325-330);
+    4. stop() drains the in-flight batch before returning (reference's
+       grace drain, src/main.rs:389-425)."""
+    import search_engine_spark.query.wand as wand_mod
+
+    pages = corpus.reference_pages(spark)
+    idx = str(tmp_path / "idxfull")
+    build_segments(spark, pages, idx, n_buckets=2, run_id="tcpfull")
+
+    real = wand_mod.wand_topk
+    calls = {"n": 0}
+
+    def flaky(*a, **kw):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise RuntimeError("injected transient failure")
+        return real(*a, **kw)
+
+    monkeypatch.setattr(wand_mod, "wand_topk", flaky)
+
+    fe = TcpServingFrontend(spark, idx, k=None)  # FULL ranked list
+    try:
+        submit_port, poll_port = fe.start()
+        q = "standard american breakfast"
+
+        # 1. first batch hits the injected failure: poll terminates
+        # with an error message, not the retry sentinel
+        qid1 = submit_query("127.0.0.1", submit_port, q)["query_id"]
+        r1 = _poll_until_done(poll_port, qid1)
+        assert r1["message"].startswith(f"Query failed: {qid1}")
+        assert r1["documents"] == []
+
+        # 2. the serving thread survived; the full ranked list has one
+        # entry per doc matching >= 1 query term
+        qid2 = submit_query("127.0.0.1", submit_port, q)["query_id"]
+        r2 = _poll_until_done(poll_port, qid2)
+        assert r2["message"].startswith(f"Query result: {qid2}")
+        qdf = spark.createDataFrame([("q", q)], ["query_id", "query_string"])
+        n_match = (
+            query_terms(qdf)
+            .join(build_postings(pages), "term")
+            .select("url")
+            .distinct()
+            .count()
+        )
+        assert len(r2["documents"]) == n_match > 10
+
+        # 3. the successful poll evicted the entry
+        again = poll_query("127.0.0.1", poll_port, qid2)
+        assert again["message"] == NOT_READY
+
+        # 4. submit then stop immediately: the grace drain still
+        # answers the in-flight query (mailbox outlives the listeners)
+        qid3 = submit_query("127.0.0.1", submit_port, q)["query_id"]
+        fe.stop()
+        r3 = fe._handle_poll({"query_id": qid3})
+        assert r3["message"].startswith(f"Query result: {qid3}")
+        assert len(r3["documents"]) == n_match
     finally:
         fe.stop()

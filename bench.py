@@ -303,27 +303,21 @@ def bench_query_latency(spark, sf_dir: str, out_dir: str) -> dict:
         F.col("doc_id").cast("string").alias("url"), "text"
     )
     build_segments(spark, docs, out_dir, n_buckets=32, run_id="latency-bench")
-    # warmup (codegen + python workers) outside the timings
-    warm = spark.createDataFrame(
-        [("warm", REFERENCE_QUERIES[0])], ["query_id", "query_string"]
-    )
-    wand_topk(spark, out_dir, warm).collect()
+    # warmup (codegen + python workers) outside the timings. Queries go
+    # in LIST form — the serving front-ends' shape — so the zero-pre-job
+    # fast path is what gets measured (an Arrow createDataFrame batch
+    # arrives as a LogicalRDD and silently falls back to the plan path).
+    wand_topk(spark, out_dir, [("warm", REFERENCE_QUERIES[0])]).collect()
     lat = []
     for i, q in enumerate(REFERENCE_QUERIES):
-        qdf = spark.createDataFrame(
-            [(f"q{i + 1:02d}", q)], ["query_id", "query_string"]
-        )
         t0 = time.monotonic()
-        wand_topk(spark, out_dir, qdf).collect()
+        wand_topk(spark, out_dir, [(f"q{i + 1:02d}", q)]).collect()
         lat.append(time.monotonic() - t0)
     # Batch serving (the design point): all 10 reference queries in ONE
     # wand_topk call — the per-query-batch scan/shuffle amortizes over
     # the batch, which is how a batch/DataFrame engine actually serves
     # (the reference's own test harness replays its whole query file).
-    batch = spark.createDataFrame(
-        [(f"q{i + 1:02d}", q) for i, q in enumerate(REFERENCE_QUERIES)],
-        ["query_id", "query_string"],
-    )
+    batch = [(f"q{i + 1:02d}", q) for i, q in enumerate(REFERENCE_QUERIES)]
     t0 = time.monotonic()
     wand_topk(spark, out_dir, batch).collect()
     batch_wall = time.monotonic() - t0

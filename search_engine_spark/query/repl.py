@@ -61,10 +61,10 @@ def interactive_loop(
         if query.lower() in EXIT_WORDS:
             break
         qno += 1
-        queries = spark.createDataFrame(
-            [(f"repl-{qno}", query)], ["query_id", "query_string"]
+        # list form -> zero-pre-job serving fast path
+        result = wand_topk(
+            spark, index_dir, [(f"repl-{qno}", query)], k=k
         )
-        result = wand_topk(spark, index_dir, queries, k=k)
         if pages is not None:
             from pyspark.sql import functions as F
 

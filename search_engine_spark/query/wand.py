@@ -172,26 +172,58 @@ def _index_fingerprint(index_dir: str) -> tuple:
     return (os.path.realpath(index_dir), st.st_mtime_ns, st.st_size)
 
 
-def _serving_state(spark: SparkSession, index_dir: str) -> dict:
-    key = (_index_fingerprint(index_dir), spark.sparkContext.applicationId)
+def _serving_state(
+    spark: SparkSession, index_dir: str, stats_dir: str | None = None
+) -> dict:
+    key = (
+        _index_fingerprint(index_dir),
+        _index_fingerprint(stats_dir) if stats_dir else None,
+        spark.sparkContext.applicationId,
+    )
     state = _SERVE_CACHE.get(key)
     if state is not None:
         return state
     # a rebuilt index at the same path gets a new fingerprint: drop any
-    # stale entry for the same resolved path first
-    for k in [k for k in _SERVE_CACHE if k[0][0] == key[0][0]]:
+    # stale entry for the same resolved (index, stats) path pair first
+    for k in [
+        k
+        for k in _SERVE_CACHE
+        if k[0][0] == key[0][0]
+        and (k[1] is None) == (key[1] is None)
+        and (k[1] is None or k[1][0] == key[1][0])
+    ]:
         _evict(k)
     while len(_SERVE_CACHE) >= _SERVE_CACHE_MAX:
         _evict(next(iter(_SERVE_CACHE)))
     stats = load_stats(index_dir)
+    if stats_dir is not None:
+        # Global-stats overlay (streaming generations between
+        # compactions): corpus-wide N/avgdl + the merged termstats
+        # replace this generation's own — layout facts (n_buckets,
+        # k1, b) stay the generation's. Blockmeta bound pairs are
+        # avgdl-independent by design, so block-max pruning remains
+        # correct under overlaid stats.
+        overlay = load_stats(stats_dir)
+        stats = {
+            **stats,
+            "n_docs": overlay["n_docs"],
+            "avgdl": overlay["avgdl"],
+        }
+    # doc rows are pre-shuffled by bucket ONCE per index and cached in
+    # that partitioning: the serving cogroup's required distribution is
+    # satisfied by the cache's hashpartitioning(bucket), so a query
+    # batch never re-shuffles the (large, static) doc side — only the
+    # tiny term+query relation moves per call (plan-asserted in
+    # tests/test_segments_wand.py::test_wand_serving_plan_cached_docs_and_pushdown)
     docs = (
         read_index(spark, index_dir)
         .filter(F.col("kind") == 0)
         .select("bucket", "doc_idx", "dl", "url")
+        .repartition(F.col("bucket"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     ts = (
-        read_termstats(spark, index_dir)
+        read_termstats(spark, stats_dir or index_dir)
         .select("term", "term_hash", "idf")
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
@@ -210,29 +242,32 @@ def _serving_state(spark: SparkSession, index_dir: str) -> dict:
         for r in ts.select("term", "term_hash", "idf").collect()
     }
     vocab = frozenset(h for h, _ in lexicon.values())
-    # pre-projected kind=0 rows in the kernel's unified scan schema —
-    # built once so per-query plan construction (py4j round-trips)
-    # stays O(query terms), not O(serving-plan width)
-    doc_rows = docs.select(
-        "bucket",
-        F.lit(0).alias("kind"),
-        "doc_idx",
-        "dl",
-        _null("string").alias("term"),
-        _null("binary").alias("postings"),
-        _null("binary").alias("blockmeta"),
-        _null("string").alias("query_id"),
-        _null("long").alias("qtf"),
-        _null("double").alias("idf"),
-        "url",
+    # pre-built term-row base plan (kind=1, projected to the kernel's
+    # term+query scan schema + term_hash for the per-call pushdown
+    # filter): building it once per index keeps per-query plan
+    # construction free of the spark.read.parquet file-listing and the
+    # projection py4j round-trips — at 10^5 segment files the listing
+    # alone would otherwise dominate single-query latency
+    term_rows_base = (
+        read_index(spark, index_dir)
+        .filter(F.col("kind") == 1)
+        .select(
+            "bucket", "kind", "term", "postings", "blockmeta",
+            _null("string").alias("query_id"),
+            _null("long").alias("qtf"),
+            _null("double").alias("idf"),
+            "term_hash",
+        )
     )
     state = {
         "stats": stats,
         "docs": docs,
-        "doc_rows": doc_rows,
+        "term_rows_base": term_rows_base,
         "ts": ts,
         "vocab": vocab,
         "lexicon": lexicon,
+        # k -> broadcast of the kernel config; immutable per index
+        "bc": {},
     }
     _SERVE_CACHE[key] = state
     return state
@@ -246,19 +281,24 @@ def _evict(key: tuple) -> None:
                 df.unpersist()
             except Exception:
                 pass
+        for bc in state.get("bc", {}).values():
+            try:
+                bc.unpersist()
+            except Exception:
+                pass
 
 
 def _null(t: str):
     return F.lit(None).cast(t)
 
 
-# unified grouped-scan row: term rows (kind=1), doc rows (kind=0) and
-# query rows (kind=2) share this shape so ONE groupBy(bucket) feeds the
-# kernel all three relations
-_SCAN_DDL = (
-    "bucket int, kind int, doc_idx long, dl long, term string, "
-    "postings binary, blockmeta binary, query_id string, qtf long, "
-    "idf double, url string"
+# unified term+query row: term rows (kind=1) and query rows (kind=2)
+# share this shape so ONE relation carries both to the per-bucket
+# kernel; doc rows arrive on the other (static, pre-partitioned,
+# cached) side of the cogroup
+_TQ_DDL = (
+    "bucket int, kind int, term string, postings binary, "
+    "blockmeta binary, query_id string, qtf long, idf double"
 )
 
 # Batches at or below this size that are already driver-local
@@ -277,6 +317,12 @@ def _local_query_rows(queries: DataFrame) -> list[tuple[str, str]] | None:
     (range, scan, transform) is never collected: a 10^5-query batch
     keeps tokenizing executor-side in the plan
     (tests/test_segments_wand.py::test_wand_large_query_batch_no_driver_tokenization).
+
+    Caveat: with ``spark.sql.execution.arrow.pyspark.enabled=true`` a
+    ``createDataFrame`` batch arrives as a parallelized LogicalRDD, not
+    a LocalRelation, and is NOT sniffable as driver-local — callers that
+    already hold the batch in Python (TCP front-end, REPL, bench) should
+    pass the list itself to ``wand_topk`` instead.
     """
     try:
         lp = queries._jdf.queryExecution().optimizedPlan()
@@ -306,10 +352,26 @@ CANDIDATE_SCHEMA = StructType(
 def wand_topk(
     spark: SparkSession,
     index_dir: str,
-    queries: DataFrame,
+    queries: DataFrame | list[tuple[str, str]],
     k: int | None = TOP_K,
+    stats_dir: str | None = None,
 ) -> DataFrame:
     """(query_id, rank, url, score) — block-max MaxScore over segments.
+
+    ``stats_dir`` overlays corpus-wide BM25 stats (N, avgdl, merged
+    termstats) from a global-stats sidecar
+    (:func:`..streaming.ingest.merge_generation_stats`) onto this
+    index's postings — how streaming generations serve globally
+    consistent idf between compactions. Blockmeta bounds are
+    avgdl-independent, so block-max pruning stays exact.
+
+    ``queries`` is either a DataFrame (query_id, query_string) — the
+    batch/pipeline shape — or a plain ``[(query_id, query_string)]``
+    list for serving front-ends that already hold the batch on the
+    driver (TCP server, REPL, latency bench): the list form always takes
+    the zero-pre-job fast path, which an Arrow-converted
+    ``createDataFrame`` batch cannot be sniffed into (it arrives as a
+    LogicalRDD, not a LocalRelation).
 
     ``k=None`` returns the FULL ranked list per query (every matched
     doc, ranked) — parity with the reference poll endpoint, which
@@ -334,12 +396,15 @@ def wand_topk(
     postings by the full term string, so a 60-bit collision between a
     query term and another term in the bucket cannot mis-score.
     """
-    state = _serving_state(spark, index_dir)
+    state = _serving_state(spark, index_dir, stats_dir)
     stats = state["stats"]
     avgdl, k1, b = stats["avgdl"], stats["k1"], stats["b"]
     n_buckets = int(stats["n_buckets"])
 
-    qrows = _local_query_rows(queries)
+    if isinstance(queries, list):
+        qrows = [(str(qid), str(qs)) for qid, qs in queries]
+    else:
+        qrows = _local_query_rows(queries)
     if qrows is not None:
         # Fast path (small driver-local batch): tokenize with the exact
         # Python parity kernel and resolve (qtf, idf, term_hash) from
@@ -359,14 +424,13 @@ def wand_topk(
                 hashes_set.add(int(h))
                 qtf = toks.count(t)
                 qk_rows.extend(
-                    (bkt, 2, None, None, t, None, None, qid, qtf,
-                     float(idf), None)
+                    (bkt, 2, t, None, None, qid, qtf, float(idf))
                     for bkt in range(n_buckets)
                 )
         if not qk_rows:
             return _empty_result(spark)
         hashes = sorted(hashes_set)
-        qk = spark.createDataFrame(qk_rows, schema=_SCAN_DDL)
+        qk = spark.createDataFrame(qk_rows, schema=_TQ_DDL)
     else:
         # Plan path (large / distributed batch): pre-job — ONE narrow
         # stage (explode + md5, no join/shuffle/broadcast) collects the
@@ -436,49 +500,44 @@ def wand_topk(
         ).select(
             "bucket",
             F.lit(2).alias("kind"),
-            _null("long").alias("doc_idx"),
-            _null("long").alias("dl"),
             "term",
             _null("binary").alias("postings"),
             _null("binary").alias("blockmeta"),
             "query_id",
             "qtf",
             "idf",
-            _null("string").alias("url"),
         )
 
-    bc = spark.sparkContext.broadcast(
-        {"avgdl": avgdl, "k1": k1, "b": b, "k": k}
-    )
+    bc = state["bc"].get(k)
+    if bc is None:
+        bc = spark.sparkContext.broadcast(
+            {"avgdl": avgdl, "k1": k1, "b": b, "k": k}
+        )
+        state["bc"][k] = bc
     term_rows = (
-        read_index(spark, index_dir)
-        .filter((F.col("kind") == 1) & F.col("term_hash").isin(hashes))
-        .select(
-            "bucket", "kind", "doc_idx", "dl", "term", "postings", "blockmeta",
-            _null("string").alias("query_id"),
-            _null("long").alias("qtf"),
-            _null("double").alias("idf"),
-            _null("string").alias("url"),
-        )
+        state["term_rows_base"]
+        .filter(F.col("term_hash").isin(hashes))
+        .drop("term_hash")
     )
-    scan = term_rows.unionByName(state["doc_rows"]).unionByName(qk)
+    tq = term_rows.unionByName(qk)
 
-    def run_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+    def run_bucket(
+        docs_pdf: pd.DataFrame, tq_pdf: pd.DataFrame
+    ) -> pd.DataFrame:
         cfg = bc.value
-        kinds = pdf["kind"].to_numpy()
-        docs = pdf[kinds == 0]
-        terms_pdf = pdf[kinds == 1]
-        qt_pdf = pdf[kinds == 2]
-        n_docs = len(docs)
+        kinds = tq_pdf["kind"].to_numpy()
+        terms_pdf = tq_pdf[kinds == 1]
+        qt_pdf = tq_pdf[kinds == 2]
+        n_docs = len(docs_pdf)
         if n_docs == 0 or len(terms_pdf) == 0 or len(qt_pdf) == 0:
             return pd.DataFrame(
                 columns=["query_id", "url", "score"]
             ).astype({"score": "float64"})
-        doc_pos = docs["doc_idx"].to_numpy(dtype=np.int64)
+        doc_pos = docs_pdf["doc_idx"].to_numpy(dtype=np.int64)
         dls = np.zeros(n_docs, dtype=np.int64)
-        dls[doc_pos] = docs["dl"].to_numpy(dtype=np.int64)
+        dls[doc_pos] = docs_pdf["dl"].to_numpy(dtype=np.int64)
         urls = np.empty(n_docs, dtype=object)
-        urls[doc_pos] = docs["url"].to_numpy(dtype=object)
+        urls[doc_pos] = docs_pdf["url"].to_numpy(dtype=object)
         by_term = {
             t: (p, m)
             for t, p, m in zip(
@@ -503,8 +562,14 @@ def wand_topk(
                 rows.append((qid, urls[doc_idx], score))
         return pd.DataFrame(rows, columns=["query_id", "url", "score"])
 
-    candidates = scan.groupBy("bucket").applyInPandas(
-        run_bucket, schema=CANDIDATE_SCHEMA
+    # scatter: the static doc side arrives via its cached
+    # hashpartitioning(bucket) — NO Exchange; the term+query side (tiny:
+    # query vocabulary x buckets) is the only per-batch shuffle
+    candidates = (
+        state["docs"]
+        .groupBy("bucket")
+        .cogroup(tq.groupBy("bucket"))
+        .applyInPandas(run_bucket, schema=CANDIDATE_SCHEMA)
     )
 
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("url"))

@@ -142,12 +142,14 @@ class TcpServingFrontend:
                 batch = self._pending
                 self._pending = []
             try:
-                qdf = self._spark.createDataFrame(
-                    [(qid, q) for qid, q, _ in batch],
-                    ["query_id", "query_string"],
-                )
+                # list form: the batch already lives on the driver, so
+                # wand_topk takes the zero-pre-job fast path (an
+                # Arrow-converted createDataFrame would hide that)
                 rows = wand_topk(
-                    self._spark, self._index_dir, qdf, k=self._k
+                    self._spark,
+                    self._index_dir,
+                    [(qid, q) for qid, q, _ in batch],
+                    k=self._k,
                 ).collect()
                 by_qid: dict[str, list] = {}
                 for r in sorted(rows, key=lambda r: (r.query_id, r.rank)):

@@ -242,15 +242,29 @@ def test_wand_serving_plan_cached_docs_and_pushdown(spark, index_dir):
     out = wand_topk(spark, index_dir, queries)
     plan = out._jdf.queryExecution().executedPlan().toString()
     # every InMemoryRelation node prints its (non-executed) originating
-    # FileScan child; live scans = total FileScans minus those.
+    # FileScan child; an already-materialized cached AQE plan
+    # additionally prints an "== Initial Plan ==" duplicate of that
+    # child. Drop the duplicate sections (by indentation), then:
+    # live scans = total FileScans minus the InMemoryRelation children.
+    lines, skip_past = [], None
+    for ln in plan.splitlines():
+        indent = len(ln) - len(ln.lstrip(" :+-"))
+        if skip_past is not None:
+            if indent >= skip_past:
+                continue
+            skip_past = None
+        if "== Initial Plan ==" in ln:
+            skip_past = indent
+            continue
+        lines.append(ln)
+    plan = "\n".join(lines)
     n_live_scans = plan.count("FileScan") - plan.count("InMemoryRelation")
     assert n_live_scans == 1, plan
     assert "InMemoryTableScan" in plan, plan
-    assert "PushedFilters" in plan, plan
-    assert "term_hash" in plan.split("PushedFilters")[1][:400], plan
     # the term-row scan (the one live FileScan, identified by its
-    # term_hash filter) must exclude url/encode_secs via column pruning;
-    # the docs-cache node legitimately carries url, so scope the check
+    # term_hash column) must push the term_hash predicate down to
+    # parquet and exclude url/encode_secs via column pruning; the
+    # docs-cache node legitimately carries url, so scope the checks
     # to that single FileScan line.
     term_scan_lines = [
         ln
@@ -259,6 +273,8 @@ def test_wand_serving_plan_cached_docs_and_pushdown(spark, index_dir):
     ]
     assert term_scan_lines, plan
     for ln in term_scan_lines:
+        assert "PushedFilters" in ln, ln
+        assert "term_hash" in ln.split("PushedFilters")[1], ln
         assert "url" not in ln, ln
         assert "encode_secs" not in ln, ln
 

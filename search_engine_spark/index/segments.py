@@ -724,6 +724,21 @@ def build_segments_from_postings(
     }
 
 
+def bm25_idf_col(df_col, n_docs: int):
+    """``ln(1 + (N - df + 0.5) / (df + 0.5))`` — the build's BM25 idf.
+
+    Shared by the streaming global-stats merge
+    (:func:`..streaming.ingest.merge_generation_stats`) so idf computed
+    from union-merged document frequencies is bit-identical to a full
+    rebuild's.
+    """
+    return F.log(
+        F.lit(1.0)
+        + (F.lit(float(n_docs)) - df_col + F.lit(0.5))
+        / (df_col + F.lit(0.5))
+    )
+
+
 def _write_termstats(spark: SparkSession, out: Path, n_docs: int) -> None:
     # Vocabulary-sized aggregation over the compact segment rows —
     # the ONLY shuffle in the whole build (term strings ride in the
@@ -732,14 +747,7 @@ def _write_termstats(spark: SparkSession, out: Path, n_docs: int) -> None:
     ts = (
         seg.groupBy("term", "term_hash")
         .agg(F.sum("df").cast("long").alias("df"))
-        .withColumn(
-            "idf",
-            F.log(
-                F.lit(1.0)
-                + (F.lit(float(n_docs)) - F.col("df") + F.lit(0.5))
-                / (F.col("df") + F.lit(0.5))
-            ),
-        )
+        .withColumn("idf", bm25_idf_col(F.col("df"), n_docs))
         .select("term", "term_hash", "df", "idf")
     )
     ts.write.mode("overwrite").parquet(str(out / "termstats"))

@@ -30,6 +30,7 @@ import os
 from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ..index.segments import build_segments
 
@@ -156,6 +157,97 @@ def generation_stats(out_dir: str) -> dict:
     }
 
 
+GLOBAL_STATS_PREFIX = "globalstats="
+
+
+def merge_generation_stats(spark: SparkSession, out_dir: str) -> str | None:
+    """Merge per-generation termstats into a *global-stats sidecar* —
+    incremental globally-consistent idf WITHOUT a compaction.
+
+    Compaction (:func:`compact_generations`) restores global BM25 stats
+    but re-encodes every posting; this job touches only the
+    vocabulary-sized termstats tables: per-term document frequencies
+    union-sum across generations, idf is recomputed from the global
+    (N, df) with the builder's own formula (``bm25_idf_col``, so merged
+    idf is bit-identical to a full rebuild's), and N/avgdl aggregate
+    from the generations' stats.json. Cost is O(vocabulary), not
+    O(postings) — at web scale this is the cheap between-compactions
+    refresher a Lucene-style engine gets from segment-info merging.
+
+    The sidecar is a mini index-shaped dir (``globalstats=<epoch>`` with
+    ``termstats/`` + ``stats.json`` written LAST as the completion
+    marker, same protocol as a generation) that
+    :func:`query_generations(global_stats=True) <query_generations>`
+    overlays onto every covered generation at serve time. Epoch naming +
+    build-in-tmp keeps concurrent readers on the previous sidecar until
+    the new one is complete; stale sidecars are removed by
+    :func:`expire_generations` (after draining), never here.
+    """
+    from ..index.segments import bm25_idf_col, read_termstats
+
+    gens = list_generations(out_dir)
+    if not gens:
+        return None
+    gstats = generation_stats(out_dir)
+    n_docs = gstats["n_docs"]
+    union = read_termstats(spark, gens[0]).select("term", "term_hash", "df")
+    for g in gens[1:]:
+        union = union.unionByName(
+            read_termstats(spark, g).select("term", "term_hash", "df")
+        )
+    merged = (
+        union.groupBy("term", "term_hash")
+        .agg(F.sum("df").cast("long").alias("df"))
+        .withColumn("idf", bm25_idf_col(F.col("df"), n_docs))
+        .select("term", "term_hash", "df", "idf")
+    )
+    base = Path(out_dir)
+    epochs = [
+        int(d.name.split("=", 1)[1])
+        for d in base.glob(f"{GLOBAL_STATS_PREFIX}*")
+        if d.name.split("=", 1)[1].isdigit()
+    ]
+    epoch = 1 + max(epochs, default=0)
+    tmp = base / f".globalstats-{epoch}-tmp"
+    merged.write.mode("overwrite").parquet(str(tmp / "termstats"))
+    # stats.json LAST = completion marker; "covers" records the exact
+    # generation set so serve-time staleness is detectable
+    (tmp / "stats.json").write_text(
+        json.dumps(
+            {
+                "n_docs": n_docs,
+                "avgdl": gstats["avgdl"],
+                "covers": sorted(Path(g).name for g in gens),
+            }
+        )
+    )
+    dest = base / f"{GLOBAL_STATS_PREFIX}{epoch}"
+    tmp.rename(dest)
+    return str(dest)
+
+
+def latest_global_stats(out_dir: str) -> tuple[str | None, set[str]]:
+    """(newest complete sidecar dir or None, set of generation NAMES it
+    covers). A sidecar never covers generations ingested after it was
+    merged — the caller serves those with their own per-generation
+    stats until the next merge/compaction."""
+    base = Path(out_dir)
+    cands = sorted(
+        (
+            d
+            for d in base.glob(f"{GLOBAL_STATS_PREFIX}*")
+            if (d / "stats.json").exists()
+            and d.name.split("=", 1)[1].isdigit()
+        ),
+        key=lambda d: int(d.name.split("=", 1)[1]),
+    )
+    if not cands:
+        return None, set()
+    best = cands[-1]
+    covers = set(json.loads((best / "stats.json").read_text())["covers"])
+    return str(best), covers
+
+
 def compact_generations(
     spark: SparkSession,
     out_dir: str,
@@ -235,12 +327,25 @@ def expire_generations(out_dir: str) -> list[str]:
     import shutil
 
     base = Path(out_dir)
-    manifest = _read_manifest(out_dir)
-    if not base.exists() or manifest is None:
+    if not base.exists():
         return []
+    removed = []
+    # global-stats sidecars: keep only the newest complete one; drop
+    # older epochs and abandoned merge temp dirs (safe after draining,
+    # same contract as generation expiry below)
+    latest, _ = latest_global_stats(out_dir)
+    for d in base.glob(f"{GLOBAL_STATS_PREFIX}*"):
+        if latest is None or d.name != Path(latest).name:
+            shutil.rmtree(d, ignore_errors=True)
+            removed.append(str(d))
+    for d in base.glob(".globalstats-*-tmp"):
+        shutil.rmtree(d, ignore_errors=True)
+        removed.append(str(d))
+    manifest = _read_manifest(out_dir)
+    if manifest is None:
+        return removed
     covers = int(manifest["covers_up_to"])
     active = set(manifest["active"])
-    removed = []
     for d in base.glob("gen=*"):
         # only generations at or below the compaction watermark are
         # expirable — anything newer may be a mid-build micro-batch
@@ -259,6 +364,7 @@ def query_generations(
     out_dir: str,
     queries: DataFrame,
     k: int = 10,
+    global_stats: bool = False,
 ) -> DataFrame:
     """Exact top-k over the union of generations.
 
@@ -267,8 +373,15 @@ def query_generations(
     the per-generation candidates — one final window merge, identical in
     shape to the multi-bucket merge inside ``wand_topk``.
 
-    Scoring caveat (documented): BM25 idf/avgdl are per-generation
-    (each generation's termstats covers its own docs). A compaction run
+    ``global_stats=True`` overlays the newest global-stats sidecar
+    (:func:`merge_generation_stats`) onto every generation it covers —
+    BM25 idf/avgdl become corpus-wide-consistent, score-identical to a
+    compacted index, at vocabulary cost instead of a re-encode.
+    Generations ingested after the merge are served with their own stats
+    until the next merge (documented incremental gap).
+
+    Scoring caveat without it: BM25 idf/avgdl are per-generation (each
+    generation's termstats covers its own docs). A compaction run also
     restores globally-consistent stats; the streaming path trades exact
     global idf for incremental availability, like segment-local stats in
     Lucene-style engines before merge.
@@ -281,7 +394,19 @@ def query_generations(
     gens = list_generations(out_dir)
     if not gens:
         raise ValueError(f"no complete generations under {out_dir}")
-    parts = [wand_topk(spark, g, queries, k=k) for g in gens]
+    sidecar, covers = (None, set())
+    if global_stats:
+        sidecar, covers = latest_global_stats(out_dir)
+    parts = [
+        wand_topk(
+            spark,
+            g,
+            queries,
+            k=k,
+            stats_dir=sidecar if Path(g).name in covers else None,
+        )
+        for g in gens
+    ]
     unioned = parts[0]
     for p in parts[1:]:
         unioned = unioned.unionByName(p)

@@ -190,6 +190,67 @@ def test_compaction_equals_batch_index(spark, tmp_path):
     assert exp == gotk  # exact equality, scores included
 
 
+def test_global_stats_sidecar_equals_compaction_scores(spark, tmp_path):
+    """merge_generation_stats + query_generations(global_stats=True)
+    serve corpus-wide-consistent BM25 (idf over union df, global
+    N/avgdl) score-equal to a compacted index — WITHOUT re-encoding a
+    single posting (VERDICT r3 ask #7). Also proves per-generation
+    stats really do diverge (the sidecar changes scores)."""
+    from search_engine_spark.index.segments import build_segments
+    from search_engine_spark.query.wand import wand_topk
+    from search_engine_spark.streaming.ingest import (
+        compact_generations,
+        expire_generations,
+        latest_global_stats,
+        merge_generation_stats,
+    )
+
+    rows = corpus.reference_pages_rows()
+    out = tmp_path / "gens"
+
+    def df(rs):
+        return spark.createDataFrame(rs, corpus.PAGES_SCHEMA)
+
+    build_segments(spark, df(rows[:60]), str(out / "gen=0"), n_buckets=2, run_id="g0")
+    build_segments(spark, df(rows[60:]), str(out / "gen=1"), n_buckets=2, run_id="g1")
+    queries = corpus.reference_queries_df(spark)
+
+    pergen = query_generations(spark, str(out), queries, k=10).collect()
+    sidecar = merge_generation_stats(spark, str(out))
+    assert sidecar is not None
+    got_dir, covers = latest_global_stats(str(out))
+    assert got_dir == sidecar and covers == {"gen=0", "gen=1"}
+    union = query_generations(
+        spark, str(out), queries, k=10, global_stats=True
+    ).collect()
+
+    # ground truth: compacted index (exact global stats, judged
+    # score-identical to a batch build in test_compaction_equals_batch_index)
+    dest = compact_generations(spark, str(out), n_buckets=4, expire=False)
+    expected = wand_topk(spark, dest, queries, k=10).collect()
+
+    key = lambda rows: {
+        (r.query_id, r.rank): (r.url, r.score) for r in rows
+    }
+    exp, got = key(expected), key(union)
+    assert exp.keys() == got.keys()
+    for kk, (url, score) in exp.items():
+        gurl, gscore = got[kk]
+        assert gurl == url, (kk, url, gurl)
+        # summation ORDER over query terms may differ (term upper
+        # bounds use per-generation blockmeta); values are the same
+        assert gscore == pytest.approx(score, rel=1e-12, abs=1e-12)
+    # and the overlay is not a no-op: per-generation idf/avgdl diverge
+    assert key(pergen) != got
+
+    # expiry keeps only the newest sidecar; a second merge epoch +
+    # expire removes the first
+    sidecar2 = merge_generation_stats(spark, str(out))
+    assert sidecar2 != sidecar
+    removed = expire_generations(str(out))
+    assert sidecar in removed and sidecar2 not in removed
+
+
 def test_preview_results(spark):
     """Result preview: first-5-lines display joined from the corpus
     (reference Display for QueryResult, src/lib.rs:229-268)."""

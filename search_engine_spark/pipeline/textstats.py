@@ -156,21 +156,37 @@ def fingerprints(docs: DataFrame) -> DataFrame:
     # into downstream lambdas: a naive per-position
     # array_min(slice(h, i, W)) re-evaluates the md5 gram hashing for
     # EVERY position — O(n^2) hashing per document (a measured 438 s at
-    # sf0.1 vs ~4 s for this form). Doubling references h only 2^levels
-    # = 4 times total, independent of document length.
+    # sf0.1 vs ~4 s for this form).
+    #
+    # Each stage below is fenced behind explode(array(expr)) — a
+    # one-row Generate whose output attribute is computed ONCE per row.
+    # Without the fence, CollapseProject inlines the whole upstream
+    # expression tree into every downstream reference, and because
+    # higher-order functions are CodegenFallback (no codegen
+    # common-subexpression elimination) the md5 gram hashing really
+    # re-executes per reference: 2 refs per doubling level x 4 final
+    # consumers = 16x per row, measured 6.3 s -> 1.2 s at sf0.1 from
+    # this change alone. No shuffle is introduced (Generate is a
+    # narrow operator; the zero-Exchange plan assertion still holds).
+    hdf = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.explode(F.array(h)).alias("h"),
+    )
+    hc = F.col("h")
     m1 = F.zip_with(
-        h,
-        F.slice(h, 2, F.greatest(F.size(h) - 1, F.lit(0))),
+        hc,
+        F.slice(hc, 2, F.greatest(F.size(hc) - 1, F.lit(0))),
         lambda x, y: F.least(x, y),
     )
+    m1df = hdf.select("doc_id", F.explode(F.array(m1)).alias("m1"))
+    m1c = F.col("m1")
     mins = F.zip_with(
-        m1,
-        F.slice(m1, 3, F.greatest(F.size(m1) - 2, F.lit(0))),
+        m1c,
+        F.slice(m1c, 3, F.greatest(F.size(m1c) - 2, F.lit(0))),
         lambda x, y: F.least(x, y),
     )
-    sel = F.array_distinct(mins)
-    picked = docs.select(
-        F.col("doc_id").cast("long").alias("doc_id"), sel.alias("sel")
+    picked = m1df.select(
+        "doc_id", F.explode(F.array(F.array_distinct(mins))).alias("sel")
     ).filter(F.size("sel") > 0)
     return picked.select(
         "doc_id",

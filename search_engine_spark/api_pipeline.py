@@ -69,6 +69,12 @@ def q_ngram_jaccard_pairs(spark, sf_dir):
     return dedup.ngram_jaccard_pairs(_docs(spark, sf_dir))
 
 
+def q_dedup_groups(spark, sf_dir):
+    """Near-dup clusters: connected components of the MinHash-LSH pair
+    graph (iterative hash-min label propagation + pointer jumping)."""
+    return dedup.dedup_groups(_docs(spark, sf_dir))
+
+
 # --- embeddings -----------------------------------------------------------
 
 
@@ -248,6 +254,7 @@ PIPELINE_QUERIES: dict = {
     "simhash_signatures": q_simhash_signatures,
     "simhash_pairs": q_simhash_pairs,
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+    "dedup_groups": q_dedup_groups,
     "cosine_neardup_lsh": q_cosine_neardup_lsh,
     "ann_brute_topk": q_ann_brute_topk,
     "ann_lsh_topk": q_ann_lsh_topk,
@@ -271,6 +278,7 @@ PIPELINE_ORACLES: dict = {
     "simhash_signatures": dedup.SQL_SIMHASH_SIGNATURES,
     "simhash_pairs": dedup.SQL_SIMHASH_PAIRS,
     "ngram_jaccard_pairs": dedup.SQL_NGRAM_JACCARD_PAIRS,
+    "dedup_groups": dedup.SQL_DEDUP_GROUPS,
     "cosine_neardup_lsh": embeddings.SQL_COSINE_NEARDUP_LSH_PAIRS,
     "ann_brute_topk": embeddings.SQL_ANN_BRUTE_TOPK,
     "ann_lsh_topk": embeddings.SQL_ANN_LSH_TOPK,

@@ -289,11 +289,7 @@ _SQL_AGREE = " + ".join(
     f"CASE WHEN sa.mh{k} = sb.mh{k} THEN 1 ELSE 0 END" for k in range(MINHASH_K)
 )
 
-SQL_MINHASH_PAIRS = rf"""
-WITH {_SQL_SHINGLES},
-{_SQL_SIG_WIDE},
-{_SQL_BANDS},
-kept AS (
+_SQL_KEPT_CAND = rf"""kept AS (
     SELECT bands.* FROM bands
     JOIN (SELECT band_idx, band_key FROM bands GROUP BY 1, 2
           HAVING count(*) <= {BAND_CAP}) k USING (band_idx, band_key)
@@ -305,12 +301,139 @@ cand AS (
       ON a.band_idx = b.band_idx AND a.band_key = b.band_key
      AND a.doc_id < b.doc_id
     GROUP BY 1, 2
-)
+)"""
+
+SQL_MINHASH_PAIRS = rf"""
+WITH {_SQL_SHINGLES},
+{_SQL_SIG_WIDE},
+{_SQL_BANDS},
+{_SQL_KEPT_CAND}
 SELECT doc_id_a, doc_id_b, n_bands_shared,
        round(({_SQL_AGREE}) / {float(MINHASH_K)} + 1e-9, 6) AS est_jaccard
 FROM cand
 JOIN sig sa ON cand.doc_id_a = sa.doc_id
 JOIN sig sb ON cand.doc_id_b = sb.doc_id
+"""
+
+
+# --- Near-dup clustering (connected components) -----------------------------
+
+GROUP_MIN_JACCARD = 0.5  # edge threshold: signature-agreement estimate
+
+
+def dedup_groups(
+    docs: DataFrame,
+    min_est_jaccard: float = GROUP_MIN_JACCARD,
+    max_rounds: int = 32,
+) -> DataFrame:
+    """(doc_id, group_id, group_size) — near-dup *clusters*: connected
+    components of the MinHash-LSH candidate graph restricted to pairs
+    with ``est_jaccard >= min_est_jaccard``. ``group_id`` is the
+    component's min doc_id (the canonical keeper a curation pipeline
+    retains); every listed doc is in a component of size >= 2 by
+    construction (singletons aren't dups).
+
+    Scale design (10^9 docs): hash-min label propagation with pointer
+    jumping. Each round every node takes the min label over itself and
+    its neighbors (ONE shuffle over the symmetric, BAND_CAP-bounded
+    edge list), then chases ``label -> label(label)`` once (pointer
+    halving), giving O(log diameter) rounds instead of O(diameter) —
+    and near-dup components are clone clusters whose diameter is tiny
+    anyway. Every join key is a uniformly-distributed int64 doc id, so
+    no skew; ``localCheckpoint`` materializes each round and cuts the
+    lineage so the plan never grows with the round count (on a real
+    cluster use ``spark.sparkContext.setCheckpointDir`` + checkpoint
+    for executor-loss resilience). The driver loop iterates over
+    ROUNDS (logarithmic), never over rows; convergence is detected by
+    the strictly-decreasing label sum reaching a fixpoint.
+    """
+    edges = (
+        minhash_pairs(docs)
+        .filter(F.col("est_jaccard") >= min_est_jaccard)
+        .select("doc_id_a", "doc_id_b")
+    )
+    sym = edges.union(
+        edges.select(F.col("doc_id_b"), F.col("doc_id_a"))
+    ).toDF("src", "dst")
+    sym = sym.localCheckpoint(eager=True)
+    labels = (
+        sym.select(F.col("src").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("label"))
+        .localCheckpoint(eager=True)
+    )
+    prev_sum = None
+    for _ in range(max_rounds):
+        nbr = (
+            sym.join(labels, sym.dst == labels.node)
+            .groupBy("src")
+            .agg(F.min("label").alias("nlabel"))
+        )
+        new = labels.join(nbr, labels.node == nbr.src, "left").select(
+            "node",
+            F.least(
+                F.col("label"), F.coalesce("nlabel", "label")
+            ).alias("label"),
+        )
+        # pointer jump: label <- label(label); labels are always node
+        # ids, so the chase target always exists (left join is belt)
+        jump = new.select(
+            F.col("node").alias("jn"), F.col("label").alias("jl")
+        )
+        new = (
+            new.join(jump, new.label == jump.jn, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce("jl", "label")
+                ).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        cur_sum = new.agg(F.sum("label")).first()[0]
+        labels = new
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("group_id")
+    return (
+        labels.select(
+            F.col("node").alias("doc_id"), F.col("label").alias("group_id")
+        )
+        .withColumn("group_size", F.count(F.lit(1)).over(w))
+        .select("doc_id", "group_id", "group_size")
+    )
+
+
+SQL_DEDUP_GROUPS = rf"""
+WITH RECURSIVE {_SQL_SHINGLES},
+{_SQL_SIG_WIDE},
+{_SQL_BANDS},
+{_SQL_KEPT_CAND},
+pairs AS (
+    SELECT doc_id_a, doc_id_b
+    FROM cand
+    JOIN sig sa ON cand.doc_id_a = sa.doc_id
+    JOIN sig sb ON cand.doc_id_b = sb.doc_id
+    WHERE round(({_SQL_AGREE}) / {float(MINHASH_K)} + 1e-9, 6)
+          >= {GROUP_MIN_JACCARD}
+),
+edges AS (
+    SELECT doc_id_a AS src, doc_id_b AS dst FROM pairs
+    UNION ALL
+    SELECT doc_id_b, doc_id_a FROM pairs
+),
+reach(node, label) AS (
+    SELECT src, src FROM edges
+    UNION
+    SELECT e.src, r.label FROM edges e JOIN reach r ON r.node = e.dst
+),
+lab AS (SELECT node AS doc_id, min(label) AS group_id FROM reach GROUP BY node)
+SELECT doc_id, group_id,
+       count(*) OVER (PARTITION BY group_id) AS group_size
+FROM lab
 """
 
 

@@ -265,6 +265,53 @@ def test_lsh_hot_band_cap_bounds_skew(spark):
     ), sh[:5]
 
 
+def test_dedup_groups_transitive_closure(spark):
+    """dedup_groups merges A-B and B-C into ONE component even when the
+    A-C pair itself never surfaces as an LSH candidate — transitivity is
+    what pairs alone can't give a curation pipeline. Also checks the
+    canonical group_id (min doc_id), group sizes, and that unrelated
+    docs stay out."""
+    from search_engine_spark.pipeline import dedup
+
+    base = (
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+        "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    )
+    words = base.split()
+    chain_a = " ".join(words)                      # doc 10
+    chain_b = " ".join(words[:-1] + ["phi"])       # doc 11: 1 word off a
+    chain_c = " ".join(["psi"] + words[1:-1] + ["phi"])  # doc 12: off b
+    other = "completely different text about rivers mountains and towns"
+    rows = [
+        (10, chain_a),
+        (11, chain_b),
+        (12, chain_c),
+        (13, other),
+        (14, other + " indeed"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    pairs = {
+        (r.doc_id_a, r.doc_id_b)
+        for r in dedup.minhash_pairs(docs)
+        .filter(F.col("est_jaccard") >= dedup.GROUP_MIN_JACCARD)
+        .collect()
+    }
+    got = {
+        r.doc_id: (r.group_id, r.group_size)
+        for r in dedup.dedup_groups(docs).collect()
+    }
+    # the chain component exists and is fully merged under min doc_id
+    assert got[10] == (10, 3) and got[11] == (10, 3) and got[12] == (10, 3)
+    # transitivity did real work unless LSH happened to emit a-c too
+    if (10, 12) not in pairs:
+        assert {(10, 11), (11, 12)} <= pairs
+    # docs 13/14 either form their own 2-component or are absent —
+    # never merged into the chain
+    if 13 in got:
+        assert got[13][0] in (13,) and got[13][1] == 2
+    assert all(v[0] != 10 for k, v in got.items() if k in (13, 14))
+
+
 def test_ivf_assignment_plan_is_shuffle_free(spark):
     """IVF cell assignment is ONE narrow Arrow pass against the
     closure-captured centroid matrix — the physical plan must contain no

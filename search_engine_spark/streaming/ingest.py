@@ -75,11 +75,21 @@ def index_stream(
     checkpoint_dir: str,
     n_buckets_per_gen: int = 16,
     trigger: dict | None = None,
+    merge_stats_every: int | None = None,
 ):
     """Start the streaming index build; returns the StreamingQuery.
 
     ``pages_stream`` must be a streaming DataFrame with at least
     (url, text) columns (the canonical pages shape works as-is).
+
+    ``merge_stats_every=N`` refreshes the global-stats sidecar
+    (:func:`merge_generation_stats`) after every Nth committed
+    micro-batch, so ``query_generations(global_stats=True)`` serves
+    corpus-wide BM25 stats that lag ingestion by at most N batches —
+    a vocabulary-sized job per refresh, no posting re-encode. The
+    refresh runs inside ``foreachBatch`` (after the generation commit),
+    so exactly-once batch semantics cover it: a retried batch simply
+    re-merges, and epoch naming keeps concurrent readers consistent.
     """
 
     def _index_batch(batch_df: DataFrame, batch_id: int) -> None:
@@ -93,6 +103,8 @@ def index_stream(
             n_buckets=n_buckets_per_gen,
             run_id=f"stream-batch-{batch_id}",
         )
+        if merge_stats_every and (batch_id + 1) % merge_stats_every == 0:
+            merge_generation_stats(batch_df.sparkSession, out_dir)
 
     writer = (
         pages_stream.writeStream.foreachBatch(_index_batch)

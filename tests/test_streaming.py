@@ -66,6 +66,7 @@ def test_stream_ingest_and_serve(spark, tmp_path):
         str(idx_dir),
         str(tmp_path / "ckpt"),
         n_buckets_per_gen=2,
+        merge_stats_every=1,
     )
     try:
         assert _await(lambda: len(list_generations(str(idx_dir))) >= 1)
@@ -78,6 +79,17 @@ def test_stream_ingest_and_serve(spark, tmp_path):
     stats = generation_stats(str(idx_dir))
     assert stats["n_docs"] == 100
     assert stats["n_generations"] >= 2
+
+    # merge_stats_every=1 refreshed the global-stats sidecar after the
+    # final committed batch: it covers the full generation set
+    from search_engine_spark.streaming.ingest import latest_global_stats
+
+    sidecar, covers = latest_global_stats(str(idx_dir))
+    assert sidecar is not None
+    assert covers == {Path(g).name for g in list_generations(str(idx_dir))}
+    assert json.loads((Path(sidecar) / "stats.json").read_text())[
+        "n_docs"
+    ] == 100
 
     # Query the union of generations; compare against per-generation
     # batch oracles merged the same way (doc-disjoint exactness).

@@ -321,40 +321,29 @@ JOIN sig sb ON cand.doc_id_b = sb.doc_id
 GROUP_MIN_JACCARD = 0.5  # edge threshold: signature-agreement estimate
 
 
-def dedup_groups(
-    docs: DataFrame,
-    min_est_jaccard: float = GROUP_MIN_JACCARD,
-    max_rounds: int = 32,
+def connected_components(
+    edges: DataFrame, max_rounds: int = 32
 ) -> DataFrame:
-    """(doc_id, group_id, group_size) — near-dup *clusters*: connected
-    components of the MinHash-LSH candidate graph restricted to pairs
-    with ``est_jaccard >= min_est_jaccard``. ``group_id`` is the
-    component's min doc_id (the canonical keeper a curation pipeline
-    retains); every listed doc is in a component of size >= 2 by
-    construction (singletons aren't dups).
+    """(node, label) — connected components of an undirected graph given
+    as an edge list (first two columns = endpoint int64 ids); ``label``
+    is the component's min node id. Only nodes appearing in ``edges``
+    are labeled (callers wanting singletons join back to their universe).
 
-    Scale design (10^9 docs): hash-min label propagation with pointer
+    Scale design (10^9 nodes): hash-min label propagation with pointer
     jumping. Each round every node takes the min label over itself and
-    its neighbors (ONE shuffle over the symmetric, BAND_CAP-bounded
-    edge list), then chases ``label -> label(label)`` once (pointer
-    halving), giving O(log diameter) rounds instead of O(diameter) —
-    and near-dup components are clone clusters whose diameter is tiny
-    anyway. Every join key is a uniformly-distributed int64 doc id, so
-    no skew; ``localCheckpoint`` materializes each round and cuts the
-    lineage so the plan never grows with the round count (on a real
-    cluster use ``spark.sparkContext.setCheckpointDir`` + checkpoint
-    for executor-loss resilience). The driver loop iterates over
-    ROUNDS (logarithmic), never over rows; convergence is detected by
-    the strictly-decreasing label sum reaching a fixpoint.
+    its neighbors (ONE shuffle over the symmetric edge list), then
+    chases ``label -> label(label)`` once (pointer halving), giving
+    O(log diameter) rounds instead of O(diameter). Every join key is a
+    uniformly-distributed int64 id, so no skew; ``localCheckpoint``
+    materializes each round and cuts the lineage so the plan never
+    grows with the round count (on a real cluster use
+    ``spark.sparkContext.setCheckpointDir`` + checkpoint for
+    executor-loss resilience). The driver loop iterates over ROUNDS
+    (logarithmic), never over rows; convergence is detected by the
+    strictly-decreasing label sum reaching a fixpoint.
     """
-    edges = (
-        minhash_pairs(docs)
-        .filter(F.col("est_jaccard") >= min_est_jaccard)
-        .select("doc_id_a", "doc_id_b")
-    )
-    sym = edges.union(
-        edges.select(F.col("doc_id_b"), F.col("doc_id_a"))
-    ).toDF("src", "dst")
+    a, b = edges.columns[:2]
+    sym = edges.select(a, b).union(edges.select(b, a)).toDF("src", "dst")
     sym = sym.localCheckpoint(eager=True)
     labels = (
         sym.select(F.col("src").alias("node"))
@@ -395,6 +384,29 @@ def dedup_groups(
         if cur_sum == prev_sum:
             break
         prev_sum = cur_sum
+    return labels
+
+
+def dedup_groups(
+    docs: DataFrame,
+    min_est_jaccard: float = GROUP_MIN_JACCARD,
+    max_rounds: int = 32,
+) -> DataFrame:
+    """(doc_id, group_id, group_size) — near-dup *clusters*: connected
+    components (:func:`connected_components`) of the MinHash-LSH
+    candidate graph restricted to pairs with
+    ``est_jaccard >= min_est_jaccard``. ``group_id`` is the component's
+    min doc_id (the canonical keeper a curation pipeline retains);
+    every listed doc is in a component of size >= 2 by construction
+    (singletons aren't dups). The edge list is BAND_CAP-bounded
+    upstream, so component diameters are clone-cluster-tiny.
+    """
+    edges = (
+        minhash_pairs(docs)
+        .filter(F.col("est_jaccard") >= min_est_jaccard)
+        .select("doc_id_a", "doc_id_b")
+    )
+    labels = connected_components(edges, max_rounds=max_rounds)
     from pyspark.sql import Window
 
     w = Window.partitionBy("group_id")

@@ -42,6 +42,13 @@ def q_fingerprints(spark, sf_dir):
     return textstats.fingerprints(_docs(spark, sf_dir))
 
 
+def q_repetition_stats(spark, sf_dir):
+    """Gopher-style within-document repetition signals (top/duplicate
+    word-n-gram fractions) — the standard quality filter a training-data
+    pipeline runs before dedup."""
+    return textstats.repetition_stats(_docs(spark, sf_dir))
+
+
 # --- dedup ----------------------------------------------------------------
 
 
@@ -248,6 +255,7 @@ PIPELINE_QUERIES: dict = {
     "text_stats": q_text_stats,
     "lang_id": q_lang_id,
     "fingerprints": q_fingerprints,
+    "repetition_stats": q_repetition_stats,
     "dedup_exact": q_dedup_exact,
     "minhash_signatures": q_minhash_signatures,
     "minhash_pairs": q_minhash_pairs,
@@ -272,6 +280,7 @@ PIPELINE_ORACLES: dict = {
     "text_stats": textstats.SQL_TEXT_STATS,
     "lang_id": textstats.SQL_LANG_ID,
     "fingerprints": textstats.SQL_FINGERPRINTS,
+    "repetition_stats": textstats.SQL_REPETITION_STATS,
     "dedup_exact": dedup.SQL_EXACT_DUPS,
     "minhash_signatures": dedup.SQL_MINHASH_SIGNATURES,
     "minhash_pairs": dedup.SQL_MINHASH_PAIRS,

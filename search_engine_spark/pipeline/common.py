@@ -38,32 +38,36 @@ def hash60_col(c: Column) -> Column:
     return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
 
 
-def positional_grams(words: Column) -> Column:
-    """Positional word 3-grams (space-joined), length max(n-2, 0).
+def positional_ngrams(words: Column, n: int) -> Column:
+    """Positional word n-grams (space-joined), length max(len - n + 1, 0).
 
-    Built with zip_with over 1- and 2-shifted slices so ``words`` only
-    ever appears in ARGUMENT position. This matters enormously: a
-    ``transform(sequence(1, n-2), i -> element_at(words, i) ...)``
+    Built with zip_with over k-shifted slices so ``words`` only ever
+    appears in ARGUMENT position. This matters enormously: a
+    ``transform(sequence(1, len-n+1), i -> element_at(words, i) ...)``
     formulation references ``words`` inside the lambda body, and
     Catalyst inlines (never materializes) the referenced expression —
-    the tokenizer regex would re-run for every gram, O(n^2) per
+    the tokenizer regex would re-run for every gram, O(len^2) per
     document (measured as the dominant cost of every shingle-based
     operator). Arguments are evaluated once per row. zip_with pads the
-    shorter side with null and concat_ws skips nulls, so the last two
+    shorter side with null and concat_ws skips nulls, so the last n-1
     entries are partial grams — sliced off.
     """
-    n = F.size(words)
-    pair = F.zip_with(
-        words,
-        F.slice(words, 2, F.greatest(n - 1, F.lit(0))),
-        lambda x, y: F.concat_ws(" ", x, y),
-    )
-    tri = F.zip_with(
-        pair,
-        F.slice(words, 3, F.greatest(n - 2, F.lit(0))),
-        lambda x, y: F.concat_ws(" ", x, y),
-    )
-    return F.slice(tri, 1, F.greatest(n - (SHINGLE_W - 1), F.lit(0)))
+    if n < 1:
+        raise ValueError("n-gram width must be >= 1")
+    sz = F.size(words)
+    acc = words
+    for k in range(1, n):
+        acc = F.zip_with(
+            acc,
+            F.slice(words, k + 1, F.greatest(sz - k, F.lit(0))),
+            lambda x, y: F.concat_ws(" ", x, y),
+        )
+    return F.slice(acc, 1, F.greatest(sz - (n - 1), F.lit(0)))
+
+
+def positional_grams(words: Column) -> Column:
+    """Positional word 3-grams (space-joined) — the near-dup shingle width."""
+    return positional_ngrams(words, SHINGLE_W)
 
 
 def shingles_col(words: Column) -> Column:

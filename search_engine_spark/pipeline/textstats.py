@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 from .common import (
     hash60_col,
     positional_grams,
+    positional_ngrams,
     round6_col,
     sql_hash60,
     sql_words,
@@ -198,6 +199,97 @@ def fingerprints(docs: DataFrame) -> DataFrame:
     )
 
 
+def repetition_stats(docs: DataFrame) -> DataFrame:
+    """Gopher-style within-document repetition signals (Rae et al. 2021,
+    §A1.1 "repetitious text" filters), re-expressed over word n-grams
+    (the driver corpus has no line structure):
+
+    Output: (doc_id, n_2grams, top_2gram_frac, dup_2gram_frac,
+    dup_3gram_frac, dup_5gram_frac)
+
+    - ``top_2gram_frac``: occurrences of the most frequent word 2-gram /
+      total 2-gram occurrences (Gopher's "top n-gram fraction").
+    - ``dup_Ngram_frac``: 1 - distinct/total word N-grams (Gopher's
+      "duplicate n-gram fraction"); 0.0 when the doc has no N-grams.
+    Docs with fewer than 2 words have no 2-grams and are absent from the
+    output (same on the oracle side).
+
+    Scale notes (100 TB): the 3/5-gram fractions are pure array
+    arithmetic — zero shuffle. The top-2-gram mode needs a per-(doc,
+    gram) count: explode -> groupBy(doc_id, gram) -> groupBy(doc_id).
+    Both aggregations get map-side partials, the first key is
+    high-cardinality/uniform (doc_id is unique per row), and the second
+    runs over the already-collapsed per-gram counts, so the second
+    Exchange moves ~distinct-grams-per-doc rows, not corpus tokens.
+    The token array and each gram array are fenced behind a one-row
+    Generate (explode(array(...))) so Catalyst computes them once per
+    row instead of inlining the tokenizer regex into every consumer
+    (CollapseProject re-evaluates CodegenFallback higher-order
+    expressions per reference; see fingerprints() above).
+    """
+    wdf = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.explode(F.array(words_col("text"))).alias("w"),
+    )
+    w = F.col("w")
+    gdf = wdf.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                F.struct(
+                    positional_ngrams(w, 2).alias("g2"),
+                    positional_ngrams(w, 3).alias("g3"),
+                    positional_ngrams(w, 5).alias("g5"),
+                )
+            )
+        ).alias("g"),
+    )
+
+    def dup_frac(garr):
+        return (
+            F.when(
+                F.size(garr) > 0,
+                round6_col(
+                    F.lit(1.0) - F.size(F.array_distinct(garr)) / F.size(garr)
+                ),
+            )
+            .otherwise(F.lit(0.0))
+            .cast("double")
+        )
+
+    pre = gdf.select(
+        "doc_id",
+        dup_frac(F.col("g.g3")).alias("d3"),
+        dup_frac(F.col("g.g5")).alias("d5"),
+        F.explode("g.g2").alias("g2"),
+    )
+    counts = pre.groupBy("doc_id", "g2").agg(
+        F.count(F.lit(1)).alias("c"),
+        F.first("d3").alias("d3"),
+        F.first("d5").alias("d5"),
+    )
+    return (
+        counts.groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("long").alias("n_2grams"),
+            F.max("c").alias("top_c"),
+            F.count(F.lit(1)).alias("n_distinct"),
+            F.first("d3").alias("dup_3gram_frac"),
+            F.first("d5").alias("dup_5gram_frac"),
+        )
+        .select(
+            "doc_id",
+            "n_2grams",
+            round6_col(F.col("top_c") / F.col("n_2grams")).alias("top_2gram_frac"),
+            round6_col(
+                F.lit(1.0) - F.col("n_distinct") / F.col("n_2grams")
+            ).alias("dup_2gram_frac"),
+            "dup_3gram_frac",
+            "dup_5gram_frac",
+        )
+    )
+
+
 # --- DuckDB oracle fragments ----------------------------------------------
 
 _STOP_LIST = ", ".join(f"'{s}'" for s in STOPWORDS_EN)
@@ -262,6 +354,51 @@ scored AS (
 SELECT doc_id, {_PRED_CASE} AS lang_pred,
        CASE WHEN {_BEST} > 0 THEN {_BEST} ELSE 0.0 END AS lang_score
 FROM scored
+"""
+
+def _sql_ngrams(w: str, n: int) -> str:
+    """DuckDB positional word n-grams of a token-list expression (1-based)."""
+    joined = " || ' ' || ".join(f"{w}[i+{k}]" if k else f"{w}[i]" for k in range(n))
+    return (
+        f"list_transform(range(1, greatest(len({w}) - {n - 2}, 1)), "
+        f"i -> {joined})"
+    )
+
+
+def _sql_dup_frac(g: str) -> str:
+    return (
+        f"CASE WHEN len({g}) = 0 THEN 0.0 ELSE "
+        f"round(1.0 - len(list_distinct({g})) / len({g})::DOUBLE + 1e-9, 6) END"
+    )
+
+
+SQL_REPETITION_STATS = rf"""
+WITH base AS (
+    SELECT doc_id::BIGINT AS doc_id, {sql_words('text')} AS w FROM documents
+),
+grams AS (
+    SELECT doc_id,
+           {_sql_ngrams('w', 2)} AS g2,
+           {_sql_dup_frac(_sql_ngrams('w', 3))} AS d3,
+           {_sql_dup_frac(_sql_ngrams('w', 5))} AS d5
+    FROM base
+),
+ex AS (
+    SELECT doc_id, d3, d5, unnest(g2) AS g
+    FROM grams WHERE len(g2) > 0
+),
+counts AS (
+    SELECT doc_id, g, count(*) AS c,
+           any_value(d3) AS d3, any_value(d5) AS d5
+    FROM ex GROUP BY 1, 2
+)
+SELECT doc_id,
+       sum(c)::BIGINT AS n_2grams,
+       round(max(c) / sum(c)::DOUBLE + 1e-9, 6) AS top_2gram_frac,
+       round(1.0 - count(*) / sum(c)::DOUBLE + 1e-9, 6) AS dup_2gram_frac,
+       any_value(d3) AS dup_3gram_frac,
+       any_value(d5) AS dup_5gram_frac
+FROM counts GROUP BY doc_id
 """
 
 SQL_FINGERPRINTS = rf"""

@@ -465,3 +465,74 @@ def test_sq_recall_reasonable(spark):
     sq = {(r.query_id, r.vec_id) for r in emb.ann_sq_topk(embs).collect()}
     recall = len(brute & sq) / len(brute)
     assert recall > 0.8, f"SQ recall collapsed: {recall:.2f}"
+
+
+def test_repetition_stats_planted_values(spark):
+    """Gopher repetition signals on hand-computable corpora, mirrored
+    against the DuckDB oracle."""
+    from search_engine_spark.api_pipeline import q_repetition_stats
+    from search_engine_spark.pipeline import textstats
+
+    texts = {
+        0: "a b c d e f",        # all distinct: every frac 0
+        1: "a a a a a a",        # total repetition
+        2: "x y x y x y x y",    # alternating: "x y"/"y x" dominate
+        3: "one two",            # exactly one 2-gram, no 3-grams
+        4: "solo",               # 1 word -> absent from output
+        5: "",                   # empty -> absent
+    }
+    sdf = spark.createDataFrame(
+        [(i, t) for i, t in texts.items()], ["doc_id", "text"]
+    )
+    got = {r.doc_id: r.asDict() for r in textstats.repetition_stats(sdf).collect()}
+
+    assert set(got) == {0, 1, 2, 3}  # 4 and 5 have no 2-grams
+    assert got[0]["n_2grams"] == 5
+    assert got[0]["top_2gram_frac"] == 0.2
+    assert got[0]["dup_2gram_frac"] == 0.0
+    assert got[0]["dup_3gram_frac"] == 0.0
+    assert got[0]["dup_5gram_frac"] == 0.0
+    # "a a ...": 5 identical 2-grams, 4 identical 3-grams, 2 identical 5-grams
+    assert got[1]["top_2gram_frac"] == 1.0
+    assert got[1]["dup_2gram_frac"] == 0.8  # 1 - 1/5
+    assert got[1]["dup_3gram_frac"] == 0.75
+    assert got[1]["dup_5gram_frac"] == 0.5
+    # alternating: 7 2-grams, top ("x y") appears 4 times
+    assert got[2]["n_2grams"] == 7
+    assert got[2]["top_2gram_frac"] == round(4 / 7 + 1e-9, 6)
+    assert got[2]["dup_2gram_frac"] == round(1 - 2 / 7 + 1e-9, 6)
+    assert got[3] == {
+        "doc_id": 3,
+        "n_2grams": 1,
+        "top_2gram_frac": 1.0,
+        "dup_2gram_frac": 0.0,
+        "dup_3gram_frac": 0.0,
+        "dup_5gram_frac": 0.0,
+    }
+
+    # oracle parity on the same corpus
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents(doc_id BIGINT, text VARCHAR)")
+    con.executemany(
+        "INSERT INTO documents VALUES (?, ?)", list(texts.items())
+    )
+    odf = con.execute(textstats.SQL_REPETITION_STATS).fetch_df()
+    exp = {int(r["doc_id"]): {k: r[k] for k in got[0]} for _, r in odf.iterrows()}
+    for i in got:
+        for k, v in got[i].items():
+            assert exp[i][k] == v, (i, k, v, exp[i][k])
+
+
+def test_repetition_stats_two_exchanges_only(spark):
+    """The mode computation is the only shuffle work: exactly two
+    Exchanges (explode->groupBy(doc,gram)->groupBy(doc)); the 3/5-gram
+    fractions ride along as array arithmetic without extra shuffles or
+    a join back."""
+    from search_engine_spark.pipeline import textstats
+
+    sdf = spark.createDataFrame([(0, "a b c")], ["doc_id", "text"])
+    plan = (
+        textstats.repetition_stats(sdf)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Exchange") == 2, plan
+    assert "Join" not in plan, plan

@@ -13,7 +13,14 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .corpus import load_table
-from .pipeline import curation, dedup, embeddings, multimodal, textstats
+from .pipeline import (
+    corpus_stats,
+    curation,
+    dedup,
+    embeddings,
+    multimodal,
+    textstats,
+)
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -47,6 +54,22 @@ def q_repetition_stats(spark, sf_dir):
     word-n-gram fractions) — the standard quality filter a training-data
     pipeline runs before dedup."""
     return textstats.repetition_stats(_docs(spark, sf_dir))
+
+
+def q_lm_score(spark, sf_dir):
+    """Unigram cross-entropy quality score (CCNet perplexity-filter
+    analog, order-1 model trained on the corpus itself)."""
+    return corpus_stats.lm_score(_docs(spark, sf_dir))
+
+
+def q_tfidf_keywords(spark, sf_dir):
+    """Top-k per-document keywords by TF-IDF against corpus df."""
+    return corpus_stats.tfidf_keywords(_docs(spark, sf_dir))
+
+
+def q_source_stats(spark, sf_dir):
+    """Per-source corpus rollup (crawl-budget / degenerate-source view)."""
+    return corpus_stats.source_stats(_docs(spark, sf_dir))
 
 
 # --- dedup ----------------------------------------------------------------
@@ -256,6 +279,9 @@ PIPELINE_QUERIES: dict = {
     "lang_id": q_lang_id,
     "fingerprints": q_fingerprints,
     "repetition_stats": q_repetition_stats,
+    "lm_score": q_lm_score,
+    "tfidf_keywords": q_tfidf_keywords,
+    "source_stats": q_source_stats,
     "dedup_exact": q_dedup_exact,
     "minhash_signatures": q_minhash_signatures,
     "minhash_pairs": q_minhash_pairs,
@@ -281,6 +307,9 @@ PIPELINE_ORACLES: dict = {
     "lang_id": textstats.SQL_LANG_ID,
     "fingerprints": textstats.SQL_FINGERPRINTS,
     "repetition_stats": textstats.SQL_REPETITION_STATS,
+    "lm_score": corpus_stats.SQL_LM_SCORE,
+    "tfidf_keywords": corpus_stats.SQL_TFIDF_KEYWORDS,
+    "source_stats": corpus_stats.SQL_SOURCE_STATS,
     "dedup_exact": dedup.SQL_EXACT_DUPS,
     "minhash_signatures": dedup.SQL_MINHASH_SIGNATURES,
     "minhash_pairs": dedup.SQL_MINHASH_PAIRS,

@@ -536,3 +536,98 @@ def test_repetition_stats_two_exchanges_only(spark):
     )
     assert plan.count("Exchange") == 2, plan
     assert "Join" not in plan, plan
+
+
+# --- corpus_stats: unigram LM score, TF-IDF keywords, source rollup -------
+
+
+def _planted_docs(spark):
+    rows = [
+        (1, "a a b", "en", "web"),
+        (2, "b c", "en", "web"),
+        (3, "", "de", "books"),
+        (4, "a c c c", "fr", "books"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text", "lang", "source"])
+
+
+def test_lm_score_planted_values(spark):
+    """Hand-computed unigram cross-entropy on a 4-doc corpus; the empty
+    document scores (0, 0.0) instead of disappearing."""
+    import math
+
+    from search_engine_spark.pipeline import corpus_stats
+
+    got = {
+        r.doc_id: (r.n_tokens, r.bits_per_token)
+        for r in corpus_stats.lm_score(_planted_docs(spark)).collect()
+    }
+    # corpus counts: a=3, b=2, c=4, total=9
+    cnt, total = {"a": 3, "b": 2, "c": 4}, 9.0
+
+    def bits(toks):
+        s = -sum(math.log2(cnt[t] / total) for t in toks)
+        return round(s / len(toks) + 1e-9, 6)
+
+    assert got[1] == (3, bits(["a", "a", "b"]))
+    assert got[2] == (2, bits(["b", "c"]))
+    assert got[3] == (0, 0.0)
+    assert got[4] == (4, bits(["a", "c", "c", "c"]))
+
+
+def test_tfidf_keywords_rank_and_tiebreak(spark):
+    """Rank = tfidf DESC then term ASC; the cut keeps <= k rows per doc."""
+    import math
+
+    from search_engine_spark.pipeline import corpus_stats
+
+    out = corpus_stats.tfidf_keywords(_planted_docs(spark), k=2).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append((r.rank, r.term, r.tfidf))
+    for rs in by_doc.values():
+        rs.sort()
+        assert [r[0] for r in rs] == list(range(1, len(rs) + 1))
+        assert len(rs) <= 2
+        keyed = [(-r[2], r[1]) for r in rs]
+        assert keyed == sorted(keyed)
+    # doc 1: tf(a)=2 df(a)=2 -> 2*ln(5/3); tf(b)=1 df(b)=2 -> ln(5/3)
+    idf = math.log(5.0 / 3.0)
+    assert by_doc[1][0][1] == "a"
+    assert by_doc[1][0][2] == round(2 * idf + 1e-9, 6)
+    assert by_doc[1][1][1] == "b"
+    assert 3 not in by_doc  # empty doc has no keywords
+
+
+def test_source_stats_planted(spark):
+    from search_engine_spark.pipeline import corpus_stats
+
+    got = {
+        r.source: (r.n_docs, r.total_tokens, r.avg_chars, r.n_langs)
+        for r in corpus_stats.source_stats(_planted_docs(spark)).collect()
+    }
+    assert got["web"] == (2, 5, round((5 + 3) / 2 + 1e-9, 6), 1)
+    assert got["books"] == (2, 4, round((0 + 7) / 2 + 1e-9, 6), 2)
+
+
+def test_corpus_stats_no_global_window(spark):
+    """Scalar totals come from broadcast 1-row aggregates, never a
+    partitionless window (which would single-task the vocabulary):
+    lm_score's plan has no Window at all, and tfidf's only Window is
+    partitioned by doc_id."""
+    from search_engine_spark.pipeline import corpus_stats
+
+    docs = _planted_docs(spark)
+    plan_lm = (
+        corpus_stats.lm_score(docs)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Window" not in plan_lm, plan_lm
+    plan_tf = (
+        corpus_stats.tfidf_keywords(docs)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    for line in plan_tf.splitlines():
+        if "Window [" in line or line.strip().startswith("Window "):
+            assert "doc_id" in line, line

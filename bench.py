@@ -762,8 +762,11 @@ def main() -> None:
         result = run_default()
     # one JSON line on stdout (the driver contract) AND the same JSON
     # in a file next to this script — BENCH_r03.json was truncated by
-    # the caller's stdout capture, so the file is the durable artifact
-    out_path = Path(__file__).resolve().parent / "bench_out.json"
+    # the caller's stdout capture, so the file is the durable artifact.
+    # Scaling runs get their own file so they never clobber the
+    # query-bench artifact.
+    out_name = "scaling_out.json" if args.scaling else "bench_out.json"
+    out_path = Path(__file__).resolve().parent / out_name
     result["artifact"] = str(out_path)
     line = json.dumps(result)
     try:

@@ -321,6 +321,29 @@ JOIN sig sb ON cand.doc_id_b = sb.doc_id
 GROUP_MIN_JACCARD = 0.5  # edge threshold: signature-agreement estimate
 
 
+CC_LOCAL_EDGE_THRESHOLD = 1 << 16  # driver union-find below this
+
+
+def _cc_local(pairs: list[tuple[int, int]]) -> list[tuple[int, int]]:
+    """Union-find over a driver-local edge list; returns (node, min-id
+    label) rows, sorted for determinism."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        root = x
+        while parent.setdefault(root, root) != root:
+            root = parent[root]
+        while parent[x] != root:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for u, v in pairs:
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            parent[max(ru, rv)] = min(ru, rv)
+    return sorted((n, find(n)) for n in parent)
+
+
 def connected_components(
     edges: DataFrame, max_rounds: int = 32
 ) -> DataFrame:
@@ -341,10 +364,28 @@ def connected_components(
     executor-loss resilience). The driver loop iterates over ROUNDS
     (logarithmic), never over rows; convergence is detected by the
     strictly-decreasing label sum reaching a fixpoint.
+
+    Small-graph fast path: the edge list is materialized anyway (the
+    iteration needs it checkpointed), so when it holds fewer than
+    ``CC_LOCAL_EDGE_THRESHOLD`` rows the components come from a
+    driver-side union-find instead of O(log diameter) distributed
+    rounds — same output, one job instead of ~3 per round. Near-dup
+    graphs are almost always this shape (the pair join is hot-band
+    capped upstream); a trillion-document corpus whose dup graph
+    genuinely exceeds the threshold takes the distributed path.
     """
     a, b = edges.columns[:2]
-    sym = edges.select(a, b).union(edges.select(b, a)).toDF("src", "dst")
-    sym = sym.localCheckpoint(eager=True)
+    # Materialize the DIRECTED edge list first: symmetrizing an
+    # unmaterialized plan would execute the (possibly expensive)
+    # upstream pair pipeline once per union branch.
+    e0 = edges.select(a, b).toDF("src", "dst").localCheckpoint(eager=True)
+    n_edges = e0.count()  # cheap: counts the checkpointed blocks
+    if n_edges < CC_LOCAL_EDGE_THRESHOLD:
+        rows = _cc_local([(r.src, r.dst) for r in e0.collect()])
+        return e0.sparkSession.createDataFrame(
+            rows or [], "node long, label long"
+        )
+    sym = e0.union(e0.select("dst", "src")).localCheckpoint(eager=True)
     labels = (
         sym.select(F.col("src").alias("node"))
         .distinct()

@@ -631,3 +631,20 @@ def test_corpus_stats_no_global_window(spark):
     for line in plan_tf.splitlines():
         if "Window [" in line or line.strip().startswith("Window "):
             assert "doc_id" in line, line
+
+
+def test_connected_components_local_vs_distributed(spark, monkeypatch):
+    """The driver union-find fast path and the distributed label
+    propagation produce identical labels on the same graph."""
+    from search_engine_spark.pipeline import dedup
+
+    # two chains and a triangle, out-of-order ids
+    edges = [(5, 9), (9, 2), (30, 31), (7, 8), (8, 6), (6, 7)]
+    edf = spark.createDataFrame(edges, ["a", "b"])
+    local = sorted(map(tuple, dedup.connected_components(edf).collect()))
+    monkeypatch.setattr(dedup, "CC_LOCAL_EDGE_THRESHOLD", 0)
+    dist = sorted(map(tuple, dedup.connected_components(edf).collect()))
+    assert local == dist
+    assert local == [
+        (2, 2), (5, 2), (6, 6), (7, 6), (8, 6), (9, 2), (30, 30), (31, 30),
+    ]

@@ -146,6 +146,13 @@ def q_video_frames(spark, sf_dir):
     return multimodal.sample_frames(media)
 
 
+def q_curation_verdict(spark, sf_dir):
+    """Composed end-to-end keep/drop decision: exact+near dedup, lang,
+    quality, LM cross-entropy, and repetition signals folded into one
+    prioritized verdict per document."""
+    return curation.curation_verdict(_docs(spark, sf_dir))
+
+
 def q_dataset_splits(spark, sf_dir):
     """Deterministic hash train/val/test split (zero-shuffle)."""
     return curation.dataset_splits(_docs(spark, sf_dir))
@@ -275,6 +282,7 @@ PIPELINE_QUERIES: dict = {
     "event_sessions": q_event_sessions,
     "dataset_splits": q_dataset_splits,
     "contamination": q_contamination,
+    "curation_verdict": q_curation_verdict,
     "text_stats": q_text_stats,
     "lang_id": q_lang_id,
     "fingerprints": q_fingerprints,
@@ -303,6 +311,7 @@ PIPELINE_ORACLES: dict = {
     "event_sessions": SQL_EVENT_SESSIONS,
     "dataset_splits": curation.SQL_DATASET_SPLITS,
     "contamination": curation.SQL_CONTAMINATION,
+    "curation_verdict": curation.SQL_CURATION_VERDICT,
     "text_stats": textstats.SQL_TEXT_STATS,
     "lang_id": textstats.SQL_LANG_ID,
     "fingerprints": textstats.SQL_FINGERPRINTS,

@@ -116,3 +116,121 @@ WHERE doc_id % {EVAL_MOD} != 0
 GROUP BY doc_id
 HAVING count(*) >= {CONTAM_MIN_SHARED}
 """
+
+
+# --- composed keep/drop verdict -------------------------------------------
+
+# Frozen filter thresholds (chosen to exercise every rule on the driver
+# corpus; a production pipeline tunes these per source).
+VERDICT_QUALITY_MIN = 0.25   # text_stats.quality_score floor
+VERDICT_BITS_MAX = 5.2       # lm_score.bits_per_token ceiling
+VERDICT_DUP2_MAX = 0.10      # repetition_stats.dup_2gram_frac ceiling
+
+# rule order = report priority: the FIRST failing rule names the verdict
+VERDICT_RULES = (
+    "exact_dup", "near_dup", "lang", "quality", "perplexity", "repetition",
+)
+
+
+def curation_verdict(docs: DataFrame) -> DataFrame:
+    """(doc_id, keep, verdict, quality_score, bits_per_token) — the
+    composed end-to-end curation decision: every per-document signal the
+    pipeline computes (exact dedup, MinHash near-dup clusters, language
+    ID, quality heuristic, unigram LM cross-entropy, Gopher repetition)
+    joined on ``doc_id`` and folded into one keep/drop verdict.
+
+    ``verdict`` is the highest-priority failing rule (``VERDICT_RULES``
+    order) or ``'keep'``:
+
+    - ``exact_dup``: the doc is an exact-duplicate non-survivor.
+    - ``near_dup``: the doc is in a MinHash-LSH near-dup cluster and is
+      not the cluster's canonical (min-id) keeper.
+    - ``lang``: language ID returned 'und'.
+    - ``quality``: quality_score < VERDICT_QUALITY_MIN.
+    - ``perplexity``: bits_per_token > VERDICT_BITS_MAX.
+    - ``repetition``: dup_2gram_frac > VERDICT_DUP2_MAX (docs with < 2
+      words have no 2-grams and pass this rule).
+
+    Scale notes (100 TB): every input is a per-document metrics relation
+    keyed by the unique, uniform ``doc_id`` — the composition is a
+    chain of skew-free equi-joins that AQE plans as broadcast or
+    shuffle joins by size. A production pipeline materializes each
+    metrics table once (they are corpus-sized but narrow) and runs this
+    composition as the cheap final pass; the signal operators themselves
+    carry the scale analysis (see their docstrings).
+    """
+    from . import corpus_stats, dedup, textstats
+
+    base = docs.select(F.col("doc_id").cast("long").alias("doc_id"))
+    exact = dedup.exact_dups(docs).select("doc_id", "is_duplicate")
+    near = dedup.dedup_groups(docs).select(
+        "doc_id", (F.col("doc_id") != F.col("group_id")).alias("near_loser")
+    )
+    lang = textstats.lang_id(docs).select("doc_id", "lang_pred")
+    quality = textstats.text_stats(docs).select("doc_id", "quality_score")
+    lm = corpus_stats.lm_score(docs).select("doc_id", "bits_per_token")
+    rep = textstats.repetition_stats(docs).select("doc_id", "dup_2gram_frac")
+
+    joined = (
+        base.join(exact, "doc_id")
+        .join(near, "doc_id", "left")
+        .join(lang, "doc_id")
+        .join(quality, "doc_id")
+        .join(lm, "doc_id")
+        .join(rep, "doc_id", "left")
+    )
+    verdict = (
+        F.when(F.col("is_duplicate"), "exact_dup")
+        .when(F.coalesce("near_loser", F.lit(False)), "near_dup")
+        .when(F.col("lang_pred") == "und", "lang")
+        .when(F.col("quality_score") < VERDICT_QUALITY_MIN, "quality")
+        .when(F.col("bits_per_token") > VERDICT_BITS_MAX, "perplexity")
+        .when(
+            F.coalesce("dup_2gram_frac", F.lit(0.0)) > VERDICT_DUP2_MAX,
+            "repetition",
+        )
+        .otherwise("keep")
+    )
+    return joined.select(
+        "doc_id",
+        (verdict == "keep").alias("keep"),
+        verdict.alias("verdict"),
+        "quality_score",
+        "bits_per_token",
+    )
+
+
+def _sql_curation_verdict() -> str:
+    """Compose the module oracle SQLs as derived tables (single source
+    of truth: each rule's SQL is the already-gated operator's own)."""
+    from . import corpus_stats, dedup, textstats
+
+    return f"""
+WITH verdicts AS (
+    SELECT d.doc_id,
+           CASE
+             WHEN ex.is_duplicate THEN 'exact_dup'
+             WHEN coalesce(dg.doc_id != dg.group_id, false) THEN 'near_dup'
+             WHEN lg.lang_pred = 'und' THEN 'lang'
+             WHEN ts.quality_score < {VERDICT_QUALITY_MIN} THEN 'quality'
+             WHEN lm.bits_per_token > {VERDICT_BITS_MAX} THEN 'perplexity'
+             WHEN coalesce(rp.dup_2gram_frac, 0.0) > {VERDICT_DUP2_MAX}
+               THEN 'repetition'
+             ELSE 'keep'
+           END AS verdict,
+           ts.quality_score, lm.bits_per_token
+    FROM (SELECT doc_id::BIGINT AS doc_id FROM documents) d
+    JOIN ({dedup.SQL_EXACT_DUPS}) ex USING (doc_id)
+    LEFT JOIN ({dedup.SQL_DEDUP_GROUPS}) dg USING (doc_id)
+    JOIN ({textstats.SQL_LANG_ID}) lg USING (doc_id)
+    JOIN ({textstats.SQL_TEXT_STATS}) ts USING (doc_id)
+    JOIN ({corpus_stats.SQL_LM_SCORE}) lm USING (doc_id)
+    LEFT JOIN ({textstats.SQL_REPETITION_STATS}) rp USING (doc_id)
+)
+SELECT doc_id, verdict = 'keep' AS keep, verdict,
+       quality_score, bits_per_token
+FROM verdicts
+"""
+
+
+SQL_CURATION_VERDICT = _sql_curation_verdict()

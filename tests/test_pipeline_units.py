@@ -648,3 +648,73 @@ def test_connected_components_local_vs_distributed(spark, monkeypatch):
     assert local == [
         (2, 2), (5, 2), (6, 6), (7, 6), (8, 6), (9, 2), (30, 30), (31, 30),
     ]
+
+
+def test_curation_verdict_composition(spark):
+    """The composed verdict equals the rule fold over the component
+    operators' own outputs (first failing rule in priority order), and
+    the exact-dup rule outranks near-dup for the same doc."""
+    from search_engine_spark.pipeline import (
+        corpus_stats,
+        curation,
+        dedup,
+        textstats,
+    )
+
+    base = (
+        "the quick brown fox jumps over the lazy dog and runs far away "
+        "to the hills where it is safe and the sun is warm today"
+    )
+    rows = [
+        (1, base, "en", "web"),
+        (2, base, "en", "web"),          # exact dup of 1 (loses to id 1)
+        (3, base + " extra tail words here", "en", "web"),  # near dup
+        (4, "zz qq xx vv kk jj", "en", "web"),              # no markers
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text", "lang", "source"])
+    got = {
+        r.doc_id: (r.keep, r.verdict)
+        for r in curation.curation_verdict(docs).collect()
+    }
+    assert len(got) == 4
+
+    exact = {r.doc_id: r.is_duplicate for r in dedup.exact_dups(docs).collect()}
+    near = {
+        r.doc_id: r.doc_id != r.group_id
+        for r in dedup.dedup_groups(docs).collect()
+    }
+    lang = {r.doc_id: r.lang_pred for r in textstats.lang_id(docs).collect()}
+    qual = {
+        r.doc_id: r.quality_score for r in textstats.text_stats(docs).collect()
+    }
+    bits = {
+        r.doc_id: r.bits_per_token
+        for r in corpus_stats.lm_score(docs).collect()
+    }
+    rep = {
+        r.doc_id: r.dup_2gram_frac
+        for r in textstats.repetition_stats(docs).collect()
+    }
+
+    def expected(d):
+        if exact[d]:
+            return "exact_dup"
+        if near.get(d, False):
+            return "near_dup"
+        if lang[d] == "und":
+            return "lang"
+        if qual[d] < curation.VERDICT_QUALITY_MIN:
+            return "quality"
+        if bits[d] > curation.VERDICT_BITS_MAX:
+            return "perplexity"
+        if rep.get(d, 0.0) > curation.VERDICT_DUP2_MAX:
+            return "repetition"
+        return "keep"
+
+    for d in (1, 2, 3, 4):
+        exp = expected(d)
+        assert got[d] == (exp == "keep", exp), (d, got[d], exp)
+    # the planted shapes actually exercised the dedup + lang rules
+    assert got[2][1] == "exact_dup"
+    assert got[3][1] == "near_dup"
+    assert got[4][1] == "lang"

@@ -146,6 +146,15 @@ def q_video_frames(spark, sf_dir):
     return multimodal.sample_frames(media)
 
 
+def q_phrase_topk(spark, sf_dir):
+    """Exact-phrase top-k over the documents corpus (positional n-gram
+    probe; a fulltext-tier extension beyond the reference's
+    bag-of-words data model)."""
+    from .query.phrase import PHRASE_QUERIES, phrase_topk
+
+    return phrase_topk(_docs(spark, sf_dir), PHRASE_QUERIES)
+
+
 def q_curation_verdict(spark, sf_dir):
     """Composed end-to-end keep/drop decision: exact+near dedup, lang,
     quality, LM cross-entropy, and repetition signals folded into one
@@ -156,6 +165,11 @@ def q_curation_verdict(spark, sf_dir):
 def q_dataset_splits(spark, sf_dir):
     """Deterministic hash train/val/test split (zero-shuffle)."""
     return curation.dataset_splits(_docs(spark, sf_dir))
+
+
+def q_stratified_sample(spark, sf_dir):
+    """Deterministic per-source subsampling (zero-shuffle hash coin)."""
+    return curation.stratified_sample(_docs(spark, sf_dir))
 
 
 def q_contamination(spark, sf_dir):
@@ -277,12 +291,19 @@ GROUP BY 1, 2
 """
 
 
+from .query.phrase import sql_phrase_topk as _sql_phrase_topk  # noqa: E402
+
+_SQL_PHRASE_TOPK = _sql_phrase_topk()
+
+
 PIPELINE_QUERIES: dict = {
     "event_window_counts": q_event_window_counts,
     "event_sessions": q_event_sessions,
     "dataset_splits": q_dataset_splits,
     "contamination": q_contamination,
     "curation_verdict": q_curation_verdict,
+    "stratified_sample": q_stratified_sample,
+    "phrase_topk": q_phrase_topk,
     "text_stats": q_text_stats,
     "lang_id": q_lang_id,
     "fingerprints": q_fingerprints,
@@ -312,6 +333,8 @@ PIPELINE_ORACLES: dict = {
     "dataset_splits": curation.SQL_DATASET_SPLITS,
     "contamination": curation.SQL_CONTAMINATION,
     "curation_verdict": curation.SQL_CURATION_VERDICT,
+    "stratified_sample": curation.SQL_STRATIFIED_SAMPLE,
+    "phrase_topk": _SQL_PHRASE_TOPK,
     "text_stats": textstats.SQL_TEXT_STATS,
     "lang_id": textstats.SQL_LANG_ID,
     "fingerprints": textstats.SQL_FINGERPRINTS,

@@ -234,3 +234,61 @@ FROM verdicts
 
 
 SQL_CURATION_VERDICT = _sql_curation_verdict()
+
+
+# --- deterministic stratified sampling ------------------------------------
+
+# Frozen per-source keep rates (per mille) over the driver corpus's
+# source ids — the standard source-mixing shape (some sources kept
+# whole, some downsampled hard); sources not in the map fall back to
+# DEFAULT_RATE.
+SAMPLE_RATES: dict[str, int] = {
+    "src0": 1000,
+    "src1": 900,
+    "src5": 700,
+    "src7": 400,
+}
+DEFAULT_RATE = 500
+
+
+def stratified_sample(docs: DataFrame) -> DataFrame:
+    """(doc_id, source, sample_bucket, kept) — deterministic per-source
+    subsampling: keep iff pmod(hash60('sample|' || doc_id), 1000) <
+    rate(source).
+
+    The hash-based coin is the only sampling that survives re-runs,
+    late-arriving data, and multi-team reproduction (same property as
+    ``dataset_splits``, same salt-prefix decorrelation). Zero shuffle:
+    a pure per-row projection against a literal rate map, so a 100 TB
+    corpus samples in one scan. Every doc is emitted with its verdict
+    (filtering is the caller's one-liner) so the gate hashes the full
+    decision, not just the survivors.
+    """
+    bucket = F.pmod(
+        hash60_col(F.concat(F.lit("sample|"), F.col("doc_id").cast("string"))),
+        F.lit(1000),
+    )
+    rate = F.lit(DEFAULT_RATE)
+    for src, r in sorted(SAMPLE_RATES.items()):
+        rate = F.when(F.col("source") == src, F.lit(r)).otherwise(rate)
+    return docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "source",
+        bucket.cast("long").alias("sample_bucket"),
+        (bucket < rate).alias("kept"),
+    )
+
+
+SQL_STRATIFIED_SAMPLE = f"""
+SELECT doc_id::BIGINT AS doc_id,
+       source,
+       b AS sample_bucket,
+       b < CASE source
+             {" ".join(f"WHEN '{s}' THEN {r}" for s, r in sorted(SAMPLE_RATES.items()))}
+             ELSE {DEFAULT_RATE} END AS kept
+FROM (
+    SELECT doc_id, source,
+           {sql_hash60("'sample|' || doc_id::VARCHAR")} % 1000 AS b
+    FROM documents
+)
+"""

@@ -718,3 +718,46 @@ def test_curation_verdict_composition(spark):
     assert got[2][1] == "exact_dup"
     assert got[3][1] == "near_dup"
     assert got[4][1] == "lang"
+
+
+def test_stratified_sample_zero_exchange(spark):
+    """Per-source hash sampling is a pure projection — no Exchange."""
+    from search_engine_spark.pipeline import curation
+
+    docs = _planted_docs(spark)
+    sdf = curation.stratified_sample(docs)
+    plan = sdf._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+    got = {r.doc_id: r for r in sdf.collect()}
+    assert len(got) == 4
+    for r in got.values():
+        assert 0 <= r.sample_bucket < 1000
+        rate = curation.SAMPLE_RATES.get(r.source, curation.DEFAULT_RATE)
+        assert r.kept == (r.sample_bucket < rate)
+
+
+def test_phrase_topk_planted(spark):
+    """Exact-phrase counts, n>=3 path, rank/tie-break, and the
+    no-partial-match guarantee (subphrases don't count)."""
+    from search_engine_spark.query.phrase import phrase_topk
+
+    rows = [
+        (1, "a b c a b c a b"),      # "a b c" twice, "a b" three times
+        (2, "a b x a b"),            # "a b" twice, no "a b c"
+        (3, "c b a"),                # reversed: nothing
+        (4, "a b c"),                # one of each
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        (r.query_id, r.doc_id): (r.rank, r.n_occurrences)
+        for r in phrase_topk(
+            docs, [("q1", "a b c"), ("q2", "a b"), ("q3", "zz top")]
+        ).collect()
+    }
+    assert got[("q1", 1)] == (1, 2)
+    assert got[("q1", 4)] == (2, 1)
+    assert ("q1", 2) not in got and ("q1", 3) not in got
+    assert got[("q2", 1)] == (1, 3)
+    assert got[("q2", 2)] == (2, 2)
+    assert got[("q2", 4)] == (3, 1)
+    assert not any(q == "q3" for q, _ in got)  # unmatched phrase absent

@@ -133,6 +133,12 @@ def q_ann_sq_topk(spark, sf_dir):
     return embeddings.ann_sq_topk(_embs(spark, sf_dir))
 
 
+def q_ann_pq_topk(spark, sf_dir):
+    """Product-quantized ANN: 4-bit subspace codes, decode-dot approx
+    rank, exact re-rank."""
+    return embeddings.ann_pq_topk(_embs(spark, sf_dir))
+
+
 # --- multimodal -----------------------------------------------------------
 
 
@@ -323,6 +329,7 @@ PIPELINE_QUERIES: dict = {
     "ann_lsh_topk": q_ann_lsh_topk,
     "ann_ivf_topk": q_ann_ivf_topk,
     "ann_sq_topk": q_ann_sq_topk,
+    "ann_pq_topk": q_ann_pq_topk,
     "multimodal_features": q_multimodal_features,
     "video_frames": q_video_frames,
 }
@@ -354,6 +361,7 @@ PIPELINE_ORACLES: dict = {
     "ann_lsh_topk": embeddings.SQL_ANN_LSH_TOPK,
     "ann_ivf_topk": embeddings.SQL_ANN_IVF_TOPK,
     "ann_sq_topk": embeddings.SQL_ANN_SQ_TOPK,
+    "ann_pq_topk": embeddings.SQL_ANN_PQ_TOPK,
     "multimodal_features": multimodal.SQL_MULTIMODAL_FEATURES,
     "video_frames": multimodal.SQL_VIDEO_FRAMES,
 }

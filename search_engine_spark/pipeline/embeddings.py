@@ -1028,3 +1028,220 @@ ranked AS (
 )
 SELECT query_id, rank, vec_id, cosine FROM ranked WHERE rank <= {ANN_K}
 """
+
+
+# --- product-quantized (PQ) ANN -------------------------------------------
+
+PQ_M = 8                       # subspaces
+PQ_SUB = EMB_DIM // PQ_M       # dims per subspace
+PQ_K = 16                      # codewords per subspace codebook
+PQ_OVERSAMPLE = 4              # approx top-(k*OVERSAMPLE), exact re-rank
+
+
+def _collect_pq_codebook(n: DataFrame) -> tuple:
+    """(C, code_ids): C[m][j] = codeword j of subspace m (PQ_SUB doubles).
+
+    Codewords are the sub-vectors of the first ``PQ_K`` vectors by
+    vec_id — the same deterministic-sample quantizer as the IVF coarse
+    centroids (production PQ runs per-subspace k-means seeded from such
+    a sample; assignment-only keeps the DuckDB oracle exact). The whole
+    codebook is M x K x PQ_SUB = 8 KB of doubles, collected once and
+    shipped in the kernel closure exactly like a trained FAISS codebook
+    ships to search workers."""
+    import numpy as np
+
+    rows = (
+        n.filter(F.col("vec_id") < PQ_K)
+        .select("vec_id", "v")
+        .orderBy("vec_id")
+        .collect()
+    )
+    V = np.asarray([[float(x) for x in r.v] for r in rows])
+    code_ids = np.asarray([int(r.vec_id) for r in rows])
+    C = np.stack(
+        [V[:, m * PQ_SUB:(m + 1) * PQ_SUB] for m in range(PQ_M)]
+    )  # (M, K, SUB)
+    return C, code_ids
+
+
+def ann_pq_topk(embs: DataFrame) -> DataFrame:
+    """(query_id, rank, vec_id, cosine) — product-quantized ANN: each
+    vector compresses to ``PQ_M`` 4-bit codes (one codeword index per
+    subspace; 64 float64s -> 4 bytes, a 128x compression), approximate
+    scores rank candidates from the decoded codewords alone, and the
+    top ``ANN_K * PQ_OVERSAMPLE`` per query are exactly re-ranked.
+    Completes the ANN family (brute / LSH / IVF / SQ / PQ); IVF x PQ is
+    the canonical billion-vector serving layout (cell partitions prune
+    the scan — :func:`write_cell_partitioned` — and PQ codes shrink
+    what's left).
+
+    Scale shape: encoding + approximate scoring is ONE narrow Arrow
+    pass over the corpus — the codebook and the 10 full-precision query
+    vectors ride in the closure, so there is no join and no row
+    amplification; only the tiny (query, vec_id, approx) relation
+    shuffles for the per-query candidate cut (WindowGroupLimit
+    partial-limits it map-side). At 10^9 vectors a serving system scans
+    the 4-byte codes column only — 128x less IO than the float column —
+    and uses the per-query LUT form of the same math (LUT[m][j] =
+    dot(q_sub[m], C[m][j]), approx = sum_m LUT[m][code[m]]); the kernel
+    here computes decode-then-dot, which is the identical fold in a
+    different loop order, chosen because the DuckDB oracle can express
+    it exactly.
+
+    Oracle parity, operation for operation: sub-distances accumulate
+    (a_d - b_d)^2 in dimension order and round to 6dp with the shared
+    1e-9 pre-round epsilon before the argmin (np.argmin takes the FIRST
+    min = the oracle window's dist ASC, code_id ASC); the decoded dot
+    accumulates over all 64 dims in order (the engines' sequential left
+    fold); approx rounds to 6dp before the (approx DESC, vec_id ASC)
+    candidate cut, so both engines pick the identical candidate set;
+    the exact re-rank is the shared ``_dot``/6dp cosine path."""
+    import numpy as np
+
+    n = _vectors(embs)
+    C, _ = _collect_pq_codebook(n)
+    qrows = (
+        n.filter(F.col("vec_id") < N_QUERIES)
+        .select("vec_id", "v")
+        .orderBy("vec_id")
+        .collect()
+    )
+    qids = np.asarray([int(r.vec_id) for r in qrows])
+    Q = np.asarray([[float(x) for x in r.v] for r in qrows])
+
+    def score(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                yield pd.DataFrame(
+                    {"query_id": pd.Series([], dtype="int64"),
+                     "vec_id": pd.Series([], dtype="int64"),
+                     "approx": pd.Series([], dtype="float64")}
+                )
+                continue
+            V = np.stack(pdf["v"].to_numpy())
+            DV = np.empty_like(V)
+            for m in range(PQ_M):
+                Vm = V[:, m * PQ_SUB:(m + 1) * PQ_SUB]
+                dist = np.zeros((len(pdf), C.shape[1]))
+                for d in range(PQ_SUB):
+                    diff = Vm[:, d, None] - C[m, None, :, d]
+                    dist += diff * diff
+                codes_m = np.argmin(np.round(dist + 1e-9, 6), axis=1)
+                DV[:, m * PQ_SUB:(m + 1) * PQ_SUB] = C[m][codes_m]
+            acc = np.zeros((len(pdf), len(qids)))
+            for d in range(EMB_DIM):
+                acc += DV[:, d, None] * Q[None, :, d]
+            approx = np.round(acc + 1e-9, 6)
+            vec_ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            yield pd.DataFrame({
+                "query_id": np.repeat(qids, len(pdf)),
+                "vec_id": np.tile(vec_ids, len(qids)),
+                "approx": approx.T.reshape(-1),
+            })
+
+    scored = n.mapInPandas(
+        score, schema="query_id long, vec_id long, approx double"
+    ).filter(F.col("query_id") != F.col("vec_id"))
+
+    from pyspark.sql import Window
+
+    wnd = Window.partitionBy("query_id").orderBy(
+        F.desc("approx"), F.asc("vec_id")
+    )
+    cand = (
+        scored.withColumn("crank", F.row_number().over(wnd))
+        .filter(F.col("crank") <= ANN_K * PQ_OVERSAMPLE)
+        .select("query_id", "vec_id")
+    )
+    q = n.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"),
+    )
+    exact = (
+        cand.join(n, "vec_id")
+        .join(F.broadcast(q), "query_id")
+        .select(
+            "query_id",
+            "vec_id",
+            _round6(
+                _dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("nrm"))
+            ).alias("cosine"),
+        )
+    )
+    return _ranked_topk(exact)
+
+
+def _sql_pq_subdist(m: int) -> str:
+    """Left-assoc sum of (v_d - cv_d)^2 over subspace m's dims."""
+    return " + ".join(
+        f"(n.v[{m * PQ_SUB + d + 1}] - c.cv[{m * PQ_SUB + d + 1}])"
+        f" * (n.v[{m * PQ_SUB + d + 1}] - c.cv[{m * PQ_SUB + d + 1}])"
+        for d in range(PQ_SUB)
+    )
+
+
+_SQL_PQ_SUB = "\n    UNION ALL\n".join(
+    f"""    SELECT n.vec_id, {m} AS m, c.code_id,
+           round({_sql_pq_subdist(m)} + 1e-9, 6) AS dist
+    FROM n CROSS JOIN cents c"""
+    for m in range(PQ_M)
+)
+
+SQL_ANN_PQ_TOPK = rf"""
+WITH {_SQL_VECTORS},
+cents AS (
+    SELECT vec_id AS code_id, v AS cv FROM n WHERE vec_id < {PQ_K}
+),
+sub AS (
+{_SQL_PQ_SUB}
+),
+codes AS (
+    SELECT vec_id, m, code_id FROM (
+        SELECT vec_id, m, code_id,
+               row_number() OVER (PARTITION BY vec_id, m
+                                  ORDER BY dist ASC, code_id ASC) AS rnk
+        FROM sub
+    ) WHERE rnk = 1
+),
+deq AS (
+    SELECT codes.vec_id,
+           flatten(list(
+               c.cv[(codes.m * {PQ_SUB} + 1):(codes.m * {PQ_SUB} + {PQ_SUB})]
+               ORDER BY codes.m
+           )) AS dv
+    FROM codes JOIN cents c USING (code_id)
+    GROUP BY codes.vec_id
+),
+approx AS (
+    SELECT q.vec_id AS query_id, d.vec_id,
+           round({_sql_dot('d.dv', 'q.v')} + 1e-9, 6) AS approx
+    FROM n q JOIN deq d ON q.vec_id < {N_QUERIES} AND q.vec_id <> d.vec_id
+),
+cand AS (
+    SELECT query_id, vec_id FROM (
+        SELECT query_id, vec_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY approx DESC, vec_id ASC) AS crank
+        FROM approx
+    ) WHERE crank <= {ANN_K * PQ_OVERSAMPLE}
+),
+exact AS (
+    SELECT c.query_id, c.vec_id,
+           round({_sql_dot('q.v', 'x.v')} / (q.nrm * x.nrm) + 1e-9, 6)
+               AS cosine
+    FROM cand c
+    JOIN n x ON x.vec_id = c.vec_id
+    JOIN n q ON q.vec_id = c.query_id
+),
+ranked AS (
+    SELECT query_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY cosine DESC, vec_id ASC)::INTEGER AS rank,
+           vec_id, cosine
+    FROM exact
+)
+SELECT query_id, rank, vec_id, cosine FROM ranked WHERE rank <= {ANN_K}
+"""

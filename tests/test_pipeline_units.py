@@ -467,6 +467,21 @@ def test_sq_recall_reasonable(spark):
     assert recall > 0.8, f"SQ recall collapsed: {recall:.2f}"
 
 
+def test_pq_recall_reasonable(spark):
+    """Product-quantized ANN (4-bit subspace codes, 128x compression)
+    must recover a solid share of the brute-force top-k via the
+    oversampled exact re-rank; PQ is lossier than SQ by design, so the
+    floor sits lower."""
+    sf = "/root/testdata/sf0.001"
+    embs = spark.read.parquet(f"{sf}/embeddings.parquet")
+    brute = {
+        (r.query_id, r.vec_id) for r in emb.ann_brute_topk(embs).collect()
+    }
+    pq = {(r.query_id, r.vec_id) for r in emb.ann_pq_topk(embs).collect()}
+    recall = len(brute & pq) / len(brute)
+    assert recall > 0.4, f"PQ recall collapsed: {recall:.2f}"
+
+
 def test_repetition_stats_planted_values(spark):
     """Gopher repetition signals on hand-computable corpora, mirrored
     against the DuckDB oracle."""

@@ -347,6 +347,32 @@ SELECT doc_id, term, count(*)::BIGINT AS n FROM (
 """
 
 
+def q_facet_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Facet counts over each query's matched documents (fulltext-tier
+    metadata surface; the reference's data model is text-only)."""
+    from .query.facets import facet_counts
+
+    return facet_counts(
+        load_table(spark, sf_dir, "documents"), _queries_df(spark)
+    )
+
+
+def q_filtered_tfsum_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-filtered ranked retrieval: tf-sum top-k over lang='en'
+    documents only (predicate pushed to the parquet scan)."""
+    from .query.facets import filtered_tfsum_topk
+
+    return filtered_tfsum_topk(
+        load_table(spark, sf_dir, "documents"), _queries_df(spark)
+    )
+
+
+from .query.facets import sql_facet_counts, sql_filtered_tfsum_topk  # noqa: E402
+
+_SQL_FACET_COUNTS = sql_facet_counts(_SQL_QUERY_VALUES)
+_SQL_FILTERED_TFSUM = sql_filtered_tfsum_topk(_SQL_QUERY_VALUES)
+
+
 from .api_pipeline import PIPELINE_ORACLES, PIPELINE_QUERIES  # noqa: E402
 
 QUERIES: dict = {
@@ -358,6 +384,8 @@ QUERIES: dict = {
     "term_stats_top100": q_term_stats,
     "doc_lengths": q_doc_lengths,
     "postings_query_terms": q_postings_sample,
+    "facet_counts": q_facet_counts,
+    "filtered_tfsum_topk": q_filtered_tfsum_topk,
     **PIPELINE_QUERIES,
 }
 
@@ -371,5 +399,7 @@ ORACLES: dict = {
     "term_stats_top100": _SQL_TERM_STATS,
     "doc_lengths": _SQL_DOC_LENGTHS,
     "postings_query_terms": _SQL_POSTINGS_SAMPLE,
+    "facet_counts": _SQL_FACET_COUNTS,
+    "filtered_tfsum_topk": _SQL_FILTERED_TFSUM,
     **PIPELINE_ORACLES,
 }

@@ -139,6 +139,12 @@ def q_ann_pq_topk(spark, sf_dir):
     return embeddings.ann_pq_topk(_embs(spark, sf_dir))
 
 
+def q_ann_ivfpq_topk(spark, sf_dir):
+    """Composed IVF x PQ ANN: probed-cell candidate pruning, PQ-code
+    approximate scoring, exact re-rank — the billion-vector layout."""
+    return embeddings.ann_ivfpq_topk(_embs(spark, sf_dir))
+
+
 # --- multimodal -----------------------------------------------------------
 
 
@@ -330,6 +336,7 @@ PIPELINE_QUERIES: dict = {
     "ann_ivf_topk": q_ann_ivf_topk,
     "ann_sq_topk": q_ann_sq_topk,
     "ann_pq_topk": q_ann_pq_topk,
+    "ann_ivfpq_topk": q_ann_ivfpq_topk,
     "multimodal_features": q_multimodal_features,
     "video_frames": q_video_frames,
 }
@@ -362,6 +369,7 @@ PIPELINE_ORACLES: dict = {
     "ann_ivf_topk": embeddings.SQL_ANN_IVF_TOPK,
     "ann_sq_topk": embeddings.SQL_ANN_SQ_TOPK,
     "ann_pq_topk": embeddings.SQL_ANN_PQ_TOPK,
+    "ann_ivfpq_topk": embeddings.SQL_ANN_IVFPQ_TOPK,
     "multimodal_features": multimodal.SQL_MULTIMODAL_FEATURES,
     "video_frames": multimodal.SQL_VIDEO_FRAMES,
 }

@@ -1174,29 +1174,27 @@ def ann_pq_topk(embs: DataFrame) -> DataFrame:
     return _ranked_topk(exact)
 
 
-def _sql_pq_subdist(m: int) -> str:
+def _sql_pq_subdist(m: int, calias: str = "c") -> str:
     """Left-assoc sum of (v_d - cv_d)^2 over subspace m's dims."""
     return " + ".join(
-        f"(n.v[{m * PQ_SUB + d + 1}] - c.cv[{m * PQ_SUB + d + 1}])"
-        f" * (n.v[{m * PQ_SUB + d + 1}] - c.cv[{m * PQ_SUB + d + 1}])"
+        f"(n.v[{m * PQ_SUB + d + 1}] - {calias}.cv[{m * PQ_SUB + d + 1}])"
+        f" * (n.v[{m * PQ_SUB + d + 1}] - {calias}.cv[{m * PQ_SUB + d + 1}])"
         for d in range(PQ_SUB)
     )
 
 
-_SQL_PQ_SUB = "\n    UNION ALL\n".join(
-    f"""    SELECT n.vec_id, {m} AS m, c.code_id,
+def _sql_pq_code_ctes(cname: str) -> str:
+    """The PQ encode CTE chain (sub -> codes -> deq) against codebook
+    table ``cname(code_id, cv)`` — shared by the standalone PQ oracle
+    and the composed IVFxPQ oracle."""
+    sub = "\n    UNION ALL\n".join(
+        f"""    SELECT n.vec_id, {m} AS m, c.code_id,
            round({_sql_pq_subdist(m)} + 1e-9, 6) AS dist
-    FROM n CROSS JOIN cents c"""
-    for m in range(PQ_M)
-)
-
-SQL_ANN_PQ_TOPK = rf"""
-WITH {_SQL_VECTORS},
-cents AS (
-    SELECT vec_id AS code_id, v AS cv FROM n WHERE vec_id < {PQ_K}
-),
-sub AS (
-{_SQL_PQ_SUB}
+    FROM n CROSS JOIN {cname} c"""
+        for m in range(PQ_M)
+    )
+    return f"""sub AS (
+{sub}
 ),
 codes AS (
     SELECT vec_id, m, code_id FROM (
@@ -1212,9 +1210,17 @@ deq AS (
                c.cv[(codes.m * {PQ_SUB} + 1):(codes.m * {PQ_SUB} + {PQ_SUB})]
                ORDER BY codes.m
            )) AS dv
-    FROM codes JOIN cents c USING (code_id)
+    FROM codes JOIN {cname} c USING (code_id)
     GROUP BY codes.vec_id
+)"""
+
+
+SQL_ANN_PQ_TOPK = rf"""
+WITH {_SQL_VECTORS},
+cents AS (
+    SELECT vec_id AS code_id, v AS cv FROM n WHERE vec_id < {PQ_K}
 ),
+{_sql_pq_code_ctes("cents")},
 approx AS (
     SELECT q.vec_id AS query_id, d.vec_id,
            round({_sql_dot('d.dv', 'q.v')} + 1e-9, 6) AS approx
@@ -1227,6 +1233,197 @@ cand AS (
                                   ORDER BY approx DESC, vec_id ASC) AS crank
         FROM approx
     ) WHERE crank <= {ANN_K * PQ_OVERSAMPLE}
+),
+exact AS (
+    SELECT c.query_id, c.vec_id,
+           round({_sql_dot('q.v', 'x.v')} / (q.nrm * x.nrm) + 1e-9, 6)
+               AS cosine
+    FROM cand c
+    JOIN n x ON x.vec_id = c.vec_id
+    JOIN n q ON q.vec_id = c.query_id
+),
+ranked AS (
+    SELECT query_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY cosine DESC, vec_id ASC)::INTEGER AS rank,
+           vec_id, cosine
+    FROM exact
+)
+SELECT query_id, rank, vec_id, cosine FROM ranked WHERE rank <= {ANN_K}
+"""
+
+
+# --- IVF x PQ: the composed billion-vector serving layout ------------------
+
+IVFPQ_OVERSAMPLE = 4
+
+
+def ann_ivfpq_topk(embs: DataFrame) -> DataFrame:
+    """(query_id, rank, vec_id, cosine) — IVF cell pruning composed with
+    PQ code scoring: the canonical billion-vector ANN layout. Queries
+    probe their ``IVF_NPROBE`` nearest cells (driver-side coarse
+    quantizer); candidates are ONLY the vectors assigned to probed
+    cells; their approximate scores come from the PQ-decoded codewords
+    (4-byte codes, not the float column); the top
+    ``ANN_K * IVFPQ_OVERSAMPLE`` per query are exactly re-ranked.
+
+    Scale shape — this is the operator whose plan survives 10^9
+    vectors: with the corpus written cell-partitioned
+    (:func:`write_cell_partitioned`) the candidate scan partition-prunes
+    to nprobe x n_queries cells, and within those cells only the PQ code
+    column is needed (128x less IO than floats); the kernel emits one
+    (query, vec_id, approx) row per candidate-in-probed-cell, not per
+    corpus row — candidate volume ~ N * nprobe / cells, linear in N
+    with a corpus-independent constant. Exact re-rank touches
+    k * oversample full vectors per query.
+
+    Oracle parity: cell assignment is :func:`_assign_cells` (argmax of
+    6dp-rounded cosines, ties to lower cell); probes are
+    :func:`_probe_cells_local` (same key); PQ encode/decode-dot follows
+    :func:`ann_pq_topk`'s fold/round discipline; the approx candidate
+    cut orders (approx DESC, vec_id ASC); exact re-rank is the shared
+    ``_dot``/6dp cosine. IVF_CELLS == PQ_K, so both codebooks are the
+    same deterministic first-16 sample."""
+    import numpy as np
+
+    n = _vectors(embs)
+    cents = _collect_centroids(n)
+    C, _ = _collect_pq_codebook(n)
+    assigned = _assign_cells(n, cents)
+    queries = [(cid, cv, cn) for cid, cv, cn in cents if cid < N_QUERIES]
+    probe_rows = _probe_cells_local(queries, cents)
+    qids = np.asarray(sorted({qid for qid, *_ in probe_rows}))
+    qv_by_id = {qid: qv for qid, qv, _, _ in probe_rows}
+    Q = np.asarray([qv_by_id[int(q)] for q in qids])
+    cells_by_q = {int(q): set() for q in qids}
+    for qid, _, _, cid in probe_rows:
+        cells_by_q[int(qid)].add(int(cid))
+
+    def score(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                yield pd.DataFrame(
+                    {"query_id": pd.Series([], dtype="int64"),
+                     "vec_id": pd.Series([], dtype="int64"),
+                     "approx": pd.Series([], dtype="float64")}
+                )
+                continue
+            V = np.stack(pdf["v"].to_numpy())
+            DV = np.empty_like(V)
+            for m in range(PQ_M):
+                Vm = V[:, m * PQ_SUB:(m + 1) * PQ_SUB]
+                dist = np.zeros((len(pdf), C.shape[1]))
+                for d in range(PQ_SUB):
+                    diff = Vm[:, d, None] - C[m, None, :, d]
+                    dist += diff * diff
+                codes_m = np.argmin(np.round(dist + 1e-9, 6), axis=1)
+                DV[:, m * PQ_SUB:(m + 1) * PQ_SUB] = C[m][codes_m]
+            acc = np.zeros((len(pdf), len(qids)))
+            for d in range(EMB_DIM):
+                acc += DV[:, d, None] * Q[None, :, d]
+            approx = np.round(acc + 1e-9, 6)
+            vec_ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            cell_ids = pdf["cell_id"].to_numpy(dtype=np.int64)
+            frames = []
+            for qi, qid in enumerate(qids):
+                probed = np.asarray(sorted(cells_by_q[int(qid)]))
+                sel = np.isin(cell_ids, probed)
+                if not sel.any():
+                    continue
+                frames.append(pd.DataFrame({
+                    "query_id": np.full(int(sel.sum()), qid, dtype=np.int64),
+                    "vec_id": vec_ids[sel],
+                    "approx": approx[sel, qi],
+                }))
+            if frames:
+                yield pd.concat(frames, ignore_index=True)
+
+    scored = assigned.mapInPandas(
+        score, schema="query_id long, vec_id long, approx double"
+    ).filter(F.col("query_id") != F.col("vec_id"))
+
+    from pyspark.sql import Window
+
+    wnd = Window.partitionBy("query_id").orderBy(
+        F.desc("approx"), F.asc("vec_id")
+    )
+    cand = (
+        scored.withColumn("crank", F.row_number().over(wnd))
+        .filter(F.col("crank") <= ANN_K * IVFPQ_OVERSAMPLE)
+        .select("query_id", "vec_id")
+    )
+    q = n.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"),
+    )
+    exact = (
+        cand.join(n, "vec_id")
+        .join(F.broadcast(q), "query_id")
+        .select(
+            "query_id",
+            "vec_id",
+            _round6(
+                _dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("nrm"))
+            ).alias("cosine"),
+        )
+    )
+    return _ranked_topk(exact)
+
+
+SQL_ANN_IVFPQ_TOPK = rf"""
+WITH {_SQL_VECTORS},
+ivfc AS (
+    SELECT vec_id AS cell_id, v AS cv, nrm AS cn FROM n
+    WHERE vec_id < {IVF_CELLS}
+),
+assigned AS (
+    SELECT vec_id, cell_id FROM (
+        SELECT n.vec_id, c.cell_id,
+               row_number() OVER (
+                   PARTITION BY n.vec_id
+                   ORDER BY round({_sql_dot('n.v', 'c.cv')} / (n.nrm * c.cn)
+                                  + 1e-9, 6) DESC,
+                            c.cell_id ASC
+               ) AS rk
+        FROM n CROSS JOIN ivfc c
+    ) WHERE rk = 1
+),
+probes AS (
+    SELECT query_id, cell_id FROM (
+        SELECT q.vec_id AS query_id, c.cell_id,
+               row_number() OVER (
+                   PARTITION BY q.vec_id
+                   ORDER BY round({_sql_dot('q.v', 'c.cv')} / (q.nrm * c.cn)
+                                  + 1e-9, 6) DESC,
+                            c.cell_id ASC
+               ) AS rk
+        FROM n q CROSS JOIN ivfc c
+        WHERE q.vec_id < {N_QUERIES}
+    ) WHERE rk <= {IVF_NPROBE}
+),
+pqc AS (
+    SELECT vec_id AS code_id, v AS cv FROM n WHERE vec_id < {PQ_K}
+),
+{_sql_pq_code_ctes("pqc")},
+approx AS (
+    SELECT p.query_id, a.vec_id,
+           round({_sql_dot('d.dv', 'q.v')} + 1e-9, 6) AS approx
+    FROM probes p
+    JOIN assigned a USING (cell_id)
+    JOIN deq d ON d.vec_id = a.vec_id
+    JOIN n q ON q.vec_id = p.query_id
+    WHERE p.query_id <> a.vec_id
+),
+cand AS (
+    SELECT query_id, vec_id FROM (
+        SELECT query_id, vec_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY approx DESC, vec_id ASC) AS crank
+        FROM approx
+    ) WHERE crank <= {ANN_K * IVFPQ_OVERSAMPLE}
 ),
 exact AS (
     SELECT c.query_id, c.vec_id,

@@ -482,6 +482,36 @@ def test_pq_recall_reasonable(spark):
     assert recall > 0.4, f"PQ recall collapsed: {recall:.2f}"
 
 
+def test_ivfpq_recall_and_pruning(spark):
+    """IVFxPQ recall stays useful, and the candidate set respects the
+    probed-cell restriction (every returned neighbor's cell is one of
+    its query's probed cells)."""
+    sf = "/root/testdata/sf0.001"
+    embs = spark.read.parquet(f"{sf}/embeddings.parquet")
+    brute = {
+        (r.query_id, r.vec_id) for r in emb.ann_brute_topk(embs).collect()
+    }
+    got = emb.ann_ivfpq_topk(embs).collect()
+    pairs = {(r.query_id, r.vec_id) for r in got}
+    recall = len(brute & pairs) / len(brute)
+    assert recall > 0.4, f"IVFxPQ recall collapsed: {recall:.2f}"
+
+    n = emb._vectors(embs)
+    cents = emb._collect_centroids(n)
+    cell_of = {
+        r.vec_id: r.cell_id
+        for r in emb._assign_cells(n, cents).select("vec_id", "cell_id").collect()
+    }
+    queries = [(c, v, m) for c, v, m in cents if c < emb.N_QUERIES]
+    probed = {}
+    for qid, _, _, cid in emb._probe_cells_local(queries, cents):
+        probed.setdefault(qid, set()).add(cid)
+    for r in got:
+        assert cell_of[r.vec_id] in probed[r.query_id], (
+            r.query_id, r.vec_id, cell_of[r.vec_id], probed[r.query_id]
+        )
+
+
 def test_repetition_stats_planted_values(spark):
     """Gopher repetition signals on hand-computable corpora, mirrored
     against the DuckDB oracle."""

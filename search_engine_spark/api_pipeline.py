@@ -303,6 +303,95 @@ GROUP BY 1, 2
 """
 
 
+ASOF_LEFT_TYPE = "purchase"   # each left event gets ...
+ASOF_RIGHT_TYPE = "view"      # ... the latest right event at-or-before it
+
+
+def q_event_asof(spark, sf_dir):
+    """As-of join over the events table: every '{left}' event joined to
+    the same user's most recent '{right}' event at-or-before it (the
+    attribution shape; nulls when no prior '{right}' exists). Spark has
+    no ASOF JOIN operator — this is the canonical distributed
+    re-expression: tag both sides, ONE shuffle on the uniform user key,
+    one within-partition sort, and a last-non-null carry-forward window
+    (``F.last(ignorenulls=True)`` over unbounded-preceding rows) — no
+    UDF, no range explosion, no per-user collect. At 100 TB the cost is
+    exactly one Exchange + sort over the unioned relation; skewless
+    because user_id is high-cardinality, and the window state is one
+    struct per partition row.
+
+    Determinism contract (mirrored in the LATERAL oracle): within a
+    user, order is (ts, side right-before-left, event_id), so a right
+    event at the identical timestamp IS visible to the left event, and
+    among equal-ts right events the highest event_id wins.
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    ev = load_table(spark, sf_dir, "events")
+    sides = ev.filter(
+        F.col("event_type").isin(ASOF_LEFT_TYPE, ASOF_RIGHT_TYPE)
+    ).select(
+        "user_id",
+        "ts",
+        "event_id",
+        "value",
+        (F.col("event_type") == ASOF_LEFT_TYPE).cast("int").alias("side"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "side", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = sides.withColumn(
+        "last_right",
+        F.last(
+            F.when(
+                F.col("side") == 0,
+                F.struct("event_id", "ts", "value"),
+            ),
+            ignorenulls=True,
+        ).over(w),
+    )
+    out = carried.filter(F.col("side") == 1).select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+        F.round(F.col("value") + F.lit(1e-9), 6).alias("purchase_value"),
+        F.col("last_right.event_id").alias("view_id"),
+        F.col("last_right.ts").alias("view_ts"),
+        F.round(F.col("last_right.value") + F.lit(1e-9), 6).alias("view_value"),
+        (
+            F.unix_micros(F.col("ts").cast("timestamp"))
+            - F.unix_micros(F.col("last_right.ts").cast("timestamp"))
+        ).cast("long").alias("lag_us"),
+    )
+    return out
+
+
+SQL_EVENT_ASOF = f"""
+SELECT p.event_id AS purchase_id,
+       p.user_id,
+       p.ts AS purchase_ts,
+       round(p.value + 1e-9, 6) AS purchase_value,
+       v.event_id AS view_id,
+       v.ts AS view_ts,
+       round(v.value + 1e-9, 6) AS view_value,
+       (epoch_us(p.ts) - epoch_us(v.ts))::BIGINT AS lag_us
+FROM events p
+LEFT JOIN LATERAL (
+    SELECT event_id, ts, value
+    FROM events v
+    WHERE v.event_type = '{ASOF_RIGHT_TYPE}'
+      AND v.user_id = p.user_id
+      AND v.ts <= p.ts
+    ORDER BY v.ts DESC, v.event_id DESC
+    LIMIT 1
+) v ON true
+WHERE p.event_type = '{ASOF_LEFT_TYPE}'
+"""
+
+
 from .query.phrase import sql_phrase_topk as _sql_phrase_topk  # noqa: E402
 
 _SQL_PHRASE_TOPK = _sql_phrase_topk()
@@ -311,6 +400,7 @@ _SQL_PHRASE_TOPK = _sql_phrase_topk()
 PIPELINE_QUERIES: dict = {
     "event_window_counts": q_event_window_counts,
     "event_sessions": q_event_sessions,
+    "event_asof": q_event_asof,
     "dataset_splits": q_dataset_splits,
     "contamination": q_contamination,
     "curation_verdict": q_curation_verdict,
@@ -344,6 +434,7 @@ PIPELINE_QUERIES: dict = {
 PIPELINE_ORACLES: dict = {
     "event_window_counts": SQL_EVENT_WINDOW_COUNTS,
     "event_sessions": SQL_EVENT_SESSIONS,
+    "event_asof": SQL_EVENT_ASOF,
     "dataset_splits": curation.SQL_DATASET_SPLITS,
     "contamination": curation.SQL_CONTAMINATION,
     "curation_verdict": curation.SQL_CURATION_VERDICT,

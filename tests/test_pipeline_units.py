@@ -806,3 +806,50 @@ def test_phrase_topk_planted(spark):
     assert got[("q2", 2)] == (2, 2)
     assert got[("q2", 4)] == (3, 1)
     assert not any(q == "q3" for q, _ in got)  # unmatched phrase absent
+
+
+def test_event_asof_planted_ties(spark, monkeypatch):
+    """As-of semantics on planted data: equal-ts view IS visible, the
+    highest event_id wins among equal-ts views, no-prior-view yields
+    nulls, and the whole operator is ONE user_id Exchange."""
+    import datetime as dt
+
+    import search_engine_spark.api_pipeline as ap
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def t(sec):
+        return t0 + dt.timedelta(seconds=sec)
+
+    rows = [
+        # user 1: view@0, view@5(x2 ids), purchase@5 (ties), purchase@9
+        (10, t(0), 1, "view", 1.0, "{}"),
+        (11, t(5), 1, "view", 2.0, "{}"),
+        (12, t(5), 1, "view", 3.0, "{}"),
+        (13, t(5), 1, "purchase", 9.0, "{}"),
+        (14, t(9), 1, "purchase", 8.0, "{}"),
+        # user 2: purchase with NO prior view; later view then purchase
+        (20, t(1), 2, "purchase", 5.0, "{}"),
+        (21, t(2), 2, "view", 6.0, "{}"),
+        (22, t(3), 2, "purchase", 7.0, "{}"),
+        # noise the filter must drop
+        (30, t(0), 1, "click", 0.0, "{}"),
+    ]
+    ev = spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    monkeypatch.setattr(
+        ap, "load_table", lambda spark_, sf_dir, name: ev
+    )
+    out = ap.q_event_asof(spark, "unused")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1, plan
+    got = {r.purchase_id: r for r in out.collect()}
+    assert set(got) == {13, 14, 20, 22}
+    # equal-ts views visible; highest event_id (12) wins over 11
+    assert got[13].view_id == 12 and got[13].view_value == 3.0
+    assert got[13].lag_us == 0
+    assert got[14].view_id == 12 and got[14].lag_us == 4_000_000
+    # no prior view -> nulls
+    assert got[20].view_id is None and got[20].lag_us is None
+    assert got[22].view_id == 21 and got[22].lag_us == 1_000_000

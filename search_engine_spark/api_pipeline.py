@@ -392,6 +392,75 @@ WHERE p.event_type = '{ASOF_LEFT_TYPE}'
 """
 
 
+RANGE_W_US = 3600 * 1_000_000   # +-1 hour association window
+RANGE_LEFT_TYPE = "error"
+RANGE_RIGHT_TYPE = "click"
+
+
+def q_event_range_join(spark, sf_dir):
+    """Range (interval) join over events: every '{left}' event paired
+    with the same user's '{right}' events within +-1 hour. Spark has no
+    native range-join operator (a naive theta-join plan is
+    BroadcastNestedLoopJoin — per-user cross product); this is the
+    canonical distributed re-expression: bin both sides by
+    floor(ts / W), explode ONLY the left side to its 3 adjacent bins,
+    equi-join on (user_id, bin), then filter |dt| <= W. Each qualifying
+    pair appears exactly once (the right row's bin is unique and always
+    within one bin of a qualifying left row), so no dedup pass. At
+    100 TB: the join is a plain hash equi-join on a high-cardinality
+    skew-free composite key, row amplification is exactly 3x on the
+    smaller (left) side, and candidate volume per (user, bin) is
+    bounded by local event density — never the per-user cross product.
+    """
+    from pyspark.sql import functions as F
+
+    ev = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    left = ev.filter(F.col("event_type") == RANGE_LEFT_TYPE).select(
+        F.col("event_id").alias("error_id"),
+        "user_id",
+        us.alias("l_us"),
+        F.floor(us / RANGE_W_US).alias("b0"),
+    ).select(
+        "error_id",
+        "user_id",
+        "l_us",
+        F.explode(
+            F.array(F.col("b0") - 1, F.col("b0"), F.col("b0") + 1)
+        ).alias("bin"),
+    )
+    right = ev.filter(F.col("event_type") == RANGE_RIGHT_TYPE).select(
+        F.col("event_id").alias("click_id"),
+        "user_id",
+        us.alias("r_us"),
+        F.floor(us / RANGE_W_US).alias("bin"),
+    )
+    return (
+        left.join(right, ["user_id", "bin"])
+        .filter(F.abs(F.col("r_us") - F.col("l_us")) <= RANGE_W_US)
+        .select(
+            "error_id",
+            "click_id",
+            "user_id",
+            (F.col("r_us") - F.col("l_us")).cast("long").alias("dt_us"),
+        )
+    )
+
+
+SQL_EVENT_RANGE_JOIN = f"""
+SELECT e.event_id AS error_id,
+       c.event_id AS click_id,
+       e.user_id,
+       (epoch_us(c.ts) - epoch_us(e.ts))::BIGINT AS dt_us
+FROM events e
+JOIN events c
+  ON c.user_id = e.user_id
+ AND abs(epoch_us(c.ts) - epoch_us(e.ts)) <= {RANGE_W_US}
+WHERE e.event_type = '{RANGE_LEFT_TYPE}'
+  AND c.event_type = '{RANGE_RIGHT_TYPE}'
+"""
+
+
 from .query.phrase import sql_phrase_topk as _sql_phrase_topk  # noqa: E402
 
 _SQL_PHRASE_TOPK = _sql_phrase_topk()
@@ -401,6 +470,7 @@ PIPELINE_QUERIES: dict = {
     "event_window_counts": q_event_window_counts,
     "event_sessions": q_event_sessions,
     "event_asof": q_event_asof,
+    "event_range_join": q_event_range_join,
     "dataset_splits": q_dataset_splits,
     "contamination": q_contamination,
     "curation_verdict": q_curation_verdict,
@@ -435,6 +505,7 @@ PIPELINE_ORACLES: dict = {
     "event_window_counts": SQL_EVENT_WINDOW_COUNTS,
     "event_sessions": SQL_EVENT_SESSIONS,
     "event_asof": SQL_EVENT_ASOF,
+    "event_range_join": SQL_EVENT_RANGE_JOIN,
     "dataset_splits": curation.SQL_DATASET_SPLITS,
     "contamination": curation.SQL_CONTAMINATION,
     "curation_verdict": curation.SQL_CURATION_VERDICT,

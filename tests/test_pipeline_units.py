@@ -853,3 +853,39 @@ def test_event_asof_planted_ties(spark, monkeypatch):
     # no prior view -> nulls
     assert got[20].view_id is None and got[20].lag_us is None
     assert got[22].view_id == 21 and got[22].lag_us == 1_000_000
+
+
+def test_event_range_join_planted(spark, monkeypatch):
+    """Binned range join: inclusive +-W boundary, bin-crossing pairs
+    emitted exactly once, out-of-window pairs absent, and the plan is a
+    hash equi-join (never BroadcastNestedLoopJoin)."""
+    import datetime as dt
+
+    import search_engine_spark.api_pipeline as ap
+
+    W = ap.RANGE_W_US  # 1 hour in us
+    t0 = dt.datetime(2024, 1, 1)
+
+    def t(us):
+        return t0 + dt.timedelta(microseconds=us)
+
+    rows = [
+        # user 1: error at 90min; clicks at exactly +-W, inside, outside,
+        # and one in the adjacent bin (bin width == W so +-W spans bins)
+        (1, t(90 * 60_000_000), 1, "error", 0.0, "{}"),
+        (2, t(90 * 60_000_000 - W), 1, "click", 0.0, "{}"),   # -W edge: in
+        (3, t(90 * 60_000_000 + W), 1, "click", 0.0, "{}"),   # +W edge: in
+        (4, t(95 * 60_000_000), 1, "click", 0.0, "{}"),       # inside
+        (5, t(90 * 60_000_000 + W + 1), 1, "click", 0.0, "{}"),  # out by 1us
+        # user 2: same timestamps as user 1's error - must not match
+        (6, t(91 * 60_000_000), 2, "click", 0.0, "{}"),
+    ]
+    ev = spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    monkeypatch.setattr(ap, "load_table", lambda s_, d_, n_: ev)
+    out = ap.q_event_range_join(spark, "unused")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    got = sorted((r.error_id, r.click_id, r.dt_us) for r in out.collect())
+    assert got == [(1, 2, -W), (1, 3, W), (1, 4, 5 * 60_000_000)], got

@@ -72,6 +72,12 @@ def q_source_stats(spark, sf_dir):
     return corpus_stats.source_stats(_docs(spark, sf_dir))
 
 
+def q_corpus_rollup(spark, sf_dir):
+    """ROLLUP(lang, source) corpus summary: leaf rows, per-lang
+    subtotals, grand total in one Expand+agg pass."""
+    return corpus_stats.corpus_rollup(_docs(spark, sf_dir))
+
+
 # --- dedup ----------------------------------------------------------------
 
 
@@ -483,6 +489,7 @@ PIPELINE_QUERIES: dict = {
     "lm_score": q_lm_score,
     "tfidf_keywords": q_tfidf_keywords,
     "source_stats": q_source_stats,
+    "corpus_rollup": q_corpus_rollup,
     "dedup_exact": q_dedup_exact,
     "minhash_signatures": q_minhash_signatures,
     "minhash_pairs": q_minhash_pairs,
@@ -518,6 +525,7 @@ PIPELINE_ORACLES: dict = {
     "lm_score": corpus_stats.SQL_LM_SCORE,
     "tfidf_keywords": corpus_stats.SQL_TFIDF_KEYWORDS,
     "source_stats": corpus_stats.SQL_SOURCE_STATS,
+    "corpus_rollup": corpus_stats.SQL_CORPUS_ROLLUP,
     "dedup_exact": dedup.SQL_EXACT_DUPS,
     "minhash_signatures": dedup.SQL_MINHASH_SIGNATURES,
     "minhash_pairs": dedup.SQL_MINHASH_PAIRS,

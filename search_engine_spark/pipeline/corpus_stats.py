@@ -218,3 +218,33 @@ SELECT source,
 FROM documents
 GROUP BY source
 """
+
+
+def corpus_rollup(docs: DataFrame) -> DataFrame:
+    """(lang, source, n_docs, total_chars) at every ROLLUP level —
+    (lang, source), per-lang subtotals, and the grand total, with NULL
+    marking rolled-up dimensions (the ANSI contract both engines share).
+
+    The reference has no grouping-sets surface (SURVEY §2.7); a corpus
+    dashboard needs exactly this shape. Scale: Spark expands ROLLUP into
+    one Expand + hash aggregate — each input row contributes to 3
+    grouping sets map-side, partial aggregation collapses everything to
+    O(|lang| x |source|) rows before the single Exchange. No joins, no
+    second pass over the corpus for the subtotal levels.
+    """
+    return (
+        docs.rollup("lang", "source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.length("text")).cast("long").alias("total_chars"),
+        )
+    )
+
+
+SQL_CORPUS_ROLLUP = """
+SELECT lang, source,
+       count(*)::BIGINT AS n_docs,
+       sum(length(text))::BIGINT AS total_chars
+FROM documents
+GROUP BY ROLLUP (lang, source)
+"""

@@ -222,8 +222,11 @@ GROUP BY source
 
 def corpus_rollup(docs: DataFrame) -> DataFrame:
     """(lang, source, n_docs, total_chars) at every ROLLUP level —
-    (lang, source), per-lang subtotals, and the grand total, with NULL
-    marking rolled-up dimensions (the ANSI contract both engines share).
+    (lang, source), per-lang subtotals, and the grand total. Rolled-up
+    dimensions are the ANSI NULL, projected to the ``(all)`` sentinel so
+    the result is totally ordered (NULL group keys don't sort against
+    strings in either engine's client, and the sentinel can't collide
+    with real 2-letter langs / dotted source domains).
 
     The reference has no grouping-sets surface (SURVEY §2.7); a corpus
     dashboard needs exactly this shape. Scale: Spark expands ROLLUP into
@@ -238,11 +241,18 @@ def corpus_rollup(docs: DataFrame) -> DataFrame:
             F.count(F.lit(1)).cast("long").alias("n_docs"),
             F.sum(F.length("text")).cast("long").alias("total_chars"),
         )
+        .select(
+            F.coalesce(F.col("lang"), F.lit("(all)")).alias("lang"),
+            F.coalesce(F.col("source"), F.lit("(all)")).alias("source"),
+            "n_docs",
+            "total_chars",
+        )
     )
 
 
 SQL_CORPUS_ROLLUP = """
-SELECT lang, source,
+SELECT coalesce(lang, '(all)') AS lang,
+       coalesce(source, '(all)') AS source,
        count(*)::BIGINT AS n_docs,
        sum(length(text))::BIGINT AS total_chars
 FROM documents

@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 from .corpus import load_table
 from .pipeline import (
     corpus_stats,
+    crawl,
     curation,
     dedup,
     embeddings,
@@ -76,6 +77,19 @@ def q_corpus_rollup(spark, sf_dir):
     """ROLLUP(lang, source) corpus summary: leaf rows, per-lang
     subtotals, grand total in one Expand+agg pass."""
     return corpus_stats.corpus_rollup(_docs(spark, sf_dir))
+
+
+def q_latest_capture(spark, sf_dir):
+    """Crawl-snapshot consolidation: one row per url, newest capture
+    wins (single max_by hash aggregate over a deterministic
+    multi-capture history)."""
+    return crawl.latest_capture(crawl.multi_capture_pages(_docs(spark, sf_dir)))
+
+
+def q_pii_scrub(spark, sf_dir):
+    """PII redaction (emails/phones/IPv4) with typed placeholders +
+    removal counts; zero-Exchange per-row projection."""
+    return crawl.pii_scrub(crawl.inject_pii(_docs(spark, sf_dir)))
 
 
 # --- dedup ----------------------------------------------------------------
@@ -490,6 +504,8 @@ PIPELINE_QUERIES: dict = {
     "tfidf_keywords": q_tfidf_keywords,
     "source_stats": q_source_stats,
     "corpus_rollup": q_corpus_rollup,
+    "latest_capture": q_latest_capture,
+    "pii_scrub": q_pii_scrub,
     "dedup_exact": q_dedup_exact,
     "minhash_signatures": q_minhash_signatures,
     "minhash_pairs": q_minhash_pairs,
@@ -526,6 +542,8 @@ PIPELINE_ORACLES: dict = {
     "tfidf_keywords": corpus_stats.SQL_TFIDF_KEYWORDS,
     "source_stats": corpus_stats.SQL_SOURCE_STATS,
     "corpus_rollup": corpus_stats.SQL_CORPUS_ROLLUP,
+    "latest_capture": crawl.SQL_LATEST_CAPTURE,
+    "pii_scrub": crawl.SQL_PII_SCRUB,
     "dedup_exact": dedup.SQL_EXACT_DUPS,
     "minhash_signatures": dedup.SQL_MINHASH_SIGNATURES,
     "minhash_pairs": dedup.SQL_MINHASH_PAIRS,

@@ -889,3 +889,64 @@ def test_event_range_join_planted(spark, monkeypatch):
     assert "BroadcastNestedLoopJoin" not in plan, plan
     got = sorted((r.error_id, r.click_id, r.dt_us) for r in out.collect())
     assert got == [(1, 2, -W), (1, 3, W), (1, 4, 5 * 60_000_000)], got
+
+
+def test_pii_scrub_plan_and_planted_values(spark):
+    """pii_scrub is a pure projection: zero Exchange; the injected PII is
+    found, counted, and fully redacted (no pattern survives scrubbing)."""
+    from search_engine_spark.pipeline import crawl
+
+    sf = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    out = crawl.pii_scrub(crawl.inject_pii(docs))
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+    rows = {r.doc_id: r for r in out.collect()}
+    assert rows[0].n_emails == 1 and rows[0].n_phones == 1  # 0 % 7 == 0
+    assert rows[0].n_ips == 1  # 0 % 11 == 0
+    assert rows[1].n_emails == 0 and rows[1].n_phones == 0 and rows[1].n_ips == 0
+    # nothing matching the patterns survives the scrub
+    scrubbed = crawl.inject_pii(docs).select(
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace(F.col("text"), crawl.EMAIL_RE, "<EMAIL>"),
+                crawl.PHONE_RE,
+                "<PHONE>",
+            ),
+            crawl.IP_RE,
+            "<IP>",
+        ).alias("t")
+    )
+    leftovers = scrubbed.filter(
+        F.col("t").rlike(crawl.EMAIL_RE)
+        | F.col("t").rlike(crawl.PHONE_RE)
+        | F.col("t").rlike(crawl.IP_RE)
+    ).count()
+    assert leftovers == 0
+
+
+def test_latest_capture_single_exchange_and_winner(spark):
+    """Crawl consolidation is ONE hash aggregate (single Exchange, with a
+    map-side partial_max_by below it) and the newest capture's body wins."""
+    from search_engine_spark.pipeline import crawl
+
+    sf = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    out = crawl.latest_capture(crawl.multi_capture_pages(docs))
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1, plan
+    assert "partial_max_by" in plan or "partial" in plan.lower(), plan
+    rows = {r.url: r for r in out.collect()}
+    # doc 9: three captures, latest text ends ' updated twice'
+    base9 = docs.filter(F.col("doc_id") == 9).collect()[0].text
+    import hashlib
+
+    assert rows["doc://9"].n_captures == 3
+    assert rows["doc://9"].latest_text_hash == hashlib.md5(
+        (base9 + " updated twice").encode()
+    ).hexdigest()
+    # doc 1: single capture, untouched body
+    base1 = docs.filter(F.col("doc_id") == 1).collect()[0].text
+    assert rows["doc://1"].n_captures == 1
+    assert rows["doc://1"].latest_text_hash == hashlib.md5(base1.encode()).hexdigest()
+    assert rows["doc://1"].first_us == rows["doc://1"].latest_us == 1_000_000

@@ -21,11 +21,29 @@ from pyspark.sql import functions as F
 
 from .corpus import REFERENCE_QUERIES, load_table
 from .index.build import build_postings, doc_lengths, term_stats
-from .query.scoring import bm25_topk, tfsum_topk
+from .query.scoring import bm25_topk, boolean_and_topk, tfsum_topk
 
 
 def _queries_df(spark: SparkSession) -> DataFrame:
     rows = [(f"q{n:02d}", q) for n, q in enumerate(REFERENCE_QUERIES, start=1)]
+    return spark.createDataFrame(rows, ["query_id", "query_string"])
+
+
+# Conjunctive-mode workload: multi-term queries over the driver corpus's
+# vocabulary (the reference queries rarely have ALL terms co-occur in one
+# synthetic document). b05 contains a term absent from any corpus — the
+# conjunctive contract returns zero rows for it.
+BOOLEAN_QUERIES: list[str] = [
+    "table row value",
+    "fast slow scan filter",
+    "data stream window",
+    "customer order line",
+    "data query nosuchword",
+]
+
+
+def _boolean_queries_df(spark: SparkSession) -> DataFrame:
+    rows = [(f"b{n:02d}", q) for n, q in enumerate(BOOLEAN_QUERIES, start=1)]
     return spark.createDataFrame(rows, ["query_id", "query_string"])
 
 
@@ -163,6 +181,92 @@ ranked AS (
 )
 SELECT query_id, rank, doc_id, score FROM ranked WHERE rank <= 10
 """
+
+
+def q_boolean_and_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conjunctive (boolean AND) BM25 top-k — only documents containing
+    every query term rank; same broadcast join shape as bm25_topk plus a
+    matched-term-count filter."""
+    docs = _docs_as_corpus(spark, sf_dir)
+    postings = build_postings(docs)
+    dl = doc_lengths(docs)
+    agg = dl.agg(
+        F.count(F.lit(1)).alias("n"), F.avg("dl").alias("avgdl")
+    ).collect()[0]
+    ts = term_stats(postings, int(agg.n))
+    out = boolean_and_topk(
+        _boolean_queries_df(spark), postings, dl, ts, float(agg.avgdl), k=10
+    )
+    return out.select(
+        "query_id",
+        F.col("rank").cast("int").alias("rank"),
+        F.col("url").alias("doc_id"),
+        "score",
+    )
+
+
+_SQL_BOOLEAN_QUERY_VALUES = ",\n    ".join(
+    "('b%02d', '%s')" % (n, q.replace("'", "''"))
+    for n, q in enumerate(BOOLEAN_QUERIES, start=1)
+)
+
+_SQL_BOOLEAN_AND = rf"""
+WITH {_SQL_TOKS},
+{_SQL_POSTINGS},
+bq(query_id, query_string) AS (VALUES
+    {{boolean_values}}
+),
+bqtok AS (
+    SELECT query_id,
+           unnest(regexp_extract_all(lower(query_string), '\w+')) AS term
+    FROM bq
+),
+bqterms AS (
+    SELECT query_id, term, count(*)::BIGINT AS qtf
+    FROM bqtok GROUP BY query_id, term
+),
+nterms AS (
+    SELECT query_id, count(*)::BIGINT AS n_terms FROM bqterms GROUP BY query_id
+),
+dl AS (
+    SELECT doc_id, count(*)::BIGINT AS dl FROM toks GROUP BY doc_id
+),
+stats AS (
+    SELECT count(*)::DOUBLE AS n, avg(dl)::DOUBLE AS avgdl FROM dl
+),
+ts AS (
+    SELECT term,
+           ln(1.0 + ((SELECT n FROM stats) - count(*) + 0.5) / (count(*) + 0.5)) AS idf
+    FROM postings GROUP BY term
+),
+scored AS (
+    SELECT query_id, p.doc_id,
+           round(sum(
+               qtf * ts.idf * (p.tf * 2.2)
+               / (p.tf + 1.2 * (0.25 + 0.75 * dl.dl / (SELECT avgdl FROM stats)))
+           ), 6) AS score,
+           count(*)::BIGINT AS n_matched
+    FROM bqterms
+    JOIN postings p USING (term)
+    JOIN ts USING (term)
+    JOIN dl ON p.doc_id = dl.doc_id
+    GROUP BY query_id, p.doc_id
+),
+conj AS (
+    SELECT s.query_id, s.doc_id, s.score
+    FROM scored s JOIN nterms USING (query_id)
+    WHERE n_matched = n_terms
+),
+ranked AS (
+    SELECT query_id,
+           row_number() OVER (
+               PARTITION BY query_id ORDER BY score DESC, doc_id ASC
+           )::INTEGER AS rank,
+           doc_id, score
+    FROM conj
+)
+SELECT query_id, rank, doc_id, score FROM ranked WHERE rank <= 10
+""".replace("{boolean_values}", _SQL_BOOLEAN_QUERY_VALUES)
 
 
 def q_wand_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -380,6 +484,7 @@ QUERIES: dict = {
     "json_tokens": q_json_tokens,
     "tfsum_topk": q_tfsum_topk,
     "bm25_topk": q_bm25_topk,
+    "boolean_and_topk": q_boolean_and_topk,
     "wand_topk": q_wand_topk,
     "term_stats_top100": q_term_stats,
     "doc_lengths": q_doc_lengths,
@@ -394,6 +499,7 @@ ORACLES: dict = {
     "json_tokens": _SQL_JSON_TOKENS,
     "tfsum_topk": _SQL_TFSUM,
     "bm25_topk": _SQL_BM25,
+    "boolean_and_topk": _SQL_BOOLEAN_AND,
     # wand_topk must be rank-identical to brute-force BM25: same oracle.
     "wand_topk": _SQL_BM25,
     "term_stats_top100": _SQL_TERM_STATS,

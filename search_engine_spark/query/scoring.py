@@ -119,3 +119,62 @@ def bm25_topk(
         F.round(F.sum("contrib"), 6).alias("score")
     )
     return _ranked(scored, k, "score")
+
+
+def boolean_and_topk(
+    queries: DataFrame,
+    postings: DataFrame,
+    doc_lengths: DataFrame,
+    term_stats: DataFrame,
+    avgdl: float,
+    k: int = TOP_K,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> DataFrame:
+    """Conjunctive (boolean AND) BM25 top-k: only documents containing
+    EVERY query term are candidates; survivors rank by BM25.
+
+    The reference is disjunctive-only (its HashMap scorer unions posting
+    lists, ``src/lib.rs:374-411``); conjunctive mode is the other half
+    of a fulltext engine's boolean surface. Semantics when a query term
+    does not exist in the corpus: no document can satisfy the AND, so
+    the query returns zero rows (the inner join to term_stats drops the
+    term from scoring but ``n_terms`` still counts it, so no doc ever
+    reaches the required match count).
+
+    Plan: identical join shape to ``bm25_topk`` (tiny query set
+    broadcast into postings — corpus side never shuffles for the join);
+    the conjunction is one extra ``count(*)`` in the same (query_id,
+    url) aggregate, filtered against a broadcast per-query term count.
+    At scale this is strictly cheaper than the disjunctive scorer: the
+    post-agg filter drops partial matches before the top-k window.
+    """
+    qt = query_terms(queries)  # distinct (query_id, term) + qtf
+    n_terms = qt.groupBy("query_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_terms")
+    )
+    qt_idf = F.broadcast(qt).join(term_stats.select("term", "idf"), "term")
+    matched = (
+        F.broadcast(qt_idf)
+        .join(postings, "term")
+        .join(doc_lengths, "url")
+    )
+    contrib = matched.withColumn(
+        "contrib",
+        F.col("qtf")
+        * F.col("idf")
+        * (F.col("tf") * (k1 + 1.0))
+        / (F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / float(avgdl))),
+    )
+    # One row per (query_id, url, term) by construction (qt and postings
+    # are both term-distinct), so count(*) IS the matched-term count.
+    scored = contrib.groupBy("query_id", "url").agg(
+        F.round(F.sum("contrib"), 6).alias("score"),
+        F.count(F.lit(1)).cast("long").alias("n_matched"),
+    )
+    conj = (
+        scored.join(F.broadcast(n_terms), "query_id")
+        .filter(F.col("n_matched") == F.col("n_terms"))
+        .select("query_id", "url", "score")
+    )
+    return _ranked(conj, k, "score")

@@ -510,3 +510,99 @@ def test_idle_timeout_keeps_session_counter():
     run([later])
     out3 = run([], timed_out=True)
     assert list(out3.session_id) == [2]  # returning user: sid=2, no reuse
+
+
+def test_watermarked_window_agg_finalizes_and_drops_late(spark, tmp_path):
+    """Watermarked streaming window agg: (1) append-mode rows equal the
+    batch aggregate over the punctual events once the watermark passes
+    every real window; (2) an event arriving later than the watermark
+    allows is DROPPED from its already-finalized window (the batch
+    recompute, which has no lateness notion, counts it)."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from search_engine_spark.streaming.windows import (
+        windowed_event_counts_stream,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    ev = (
+        spark.read.parquet(f"{sf}/events.parquet")
+        .select("event_id", "ts", "event_type", "value")
+        .orderBy("ts", "event_id")
+    )
+    rows = ev.collect()
+    third = len(rows) // 3
+    chunks = [rows[:third], rows[third : 2 * third], rows[2 * third :]]
+    max_ts = max(r.ts for r in rows)
+    # a copy of the earliest event, replayed in the final micro-batch —
+    # hours behind the watermark by then
+    late_plant = rows[0]
+    sentinel = type(rows[0])(
+        event_id=10**9,
+        ts=max_ts + dt.timedelta(hours=10),
+        event_type="sentinel",
+        value=0.0,
+    )
+    batches = [
+        chunks[0],
+        chunks[1],
+        chunks[2] + [late_plant],
+        [sentinel],
+    ]
+    schema = "event_id long, ts timestamp_ntz, event_type string, value double"
+    in_dir = tmp_path / "ev"
+    in_dir.mkdir()
+    for i, chunk in enumerate(batches):
+        df = spark.createDataFrame(chunk, schema)
+        df.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / f"s{i}"))
+        part = next((tmp_path / f"s{i}").glob("part-*.parquet"))
+        part.rename(in_dir / f"batch{i}.parquet")
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(in_dir))
+    )
+    q = (
+        windowed_event_counts_stream(stream, watermark="2 hours")
+        .writeStream.format("memory")
+        .queryName("win_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    got = {
+        (r.window_start, r.event_type): (r.n_events, r.sum_value)
+        for r in spark.table("win_out").collect()
+    }
+    # batch truth over the PUNCTUAL events only (no late plant/sentinel)
+    want = {
+        (r.window_start, r.event_type): (r.n_events, r.sum_value)
+        for r in spark.createDataFrame(rows, schema)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .groupBy(F.window("ts", "1 hour").getField("start").alias("window_start"), "event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.round(F.sum("value") + F.lit(1e-9), 6).alias("sum_value"),
+        )
+        .collect()
+    }
+    assert got == want
+    assert len(got) > 10
+    # the late plant's window finalized WITHOUT it: a batch recompute
+    # that includes the replayed event disagrees with the stream output
+    late_key_ts = late_plant.ts.replace(minute=0, second=0, microsecond=0)
+    late_key = (late_key_ts, late_plant.event_type)
+    assert got[late_key][0] == want[late_key][0]
+    with_plant = {
+        (r.window_start, r.event_type): r.n_events
+        for r in spark.createDataFrame(rows + [late_plant], schema)
+        .groupBy(F.window("ts", "1 hour").getField("start").alias("window_start"), "event_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+        .collect()
+    }
+    assert with_plant[late_key] == got[late_key][0] + 1

@@ -1039,7 +1039,10 @@ PQ_OVERSAMPLE = 4              # approx top-(k*OVERSAMPLE), exact re-rank
 
 
 def _collect_pq_codebook(n: DataFrame) -> tuple:
-    """(C, code_ids): C[m][j] = codeword j of subspace m (PQ_SUB doubles).
+    """(C, code_ids, V): C[m][j] = codeword j of subspace m (PQ_SUB
+    doubles); V is the raw (PQ_K, EMB_DIM) sample matrix so callers can
+    slice query vectors out of the SAME collect (N_QUERIES <= PQ_K)
+    instead of running a second 10-row job.
 
     Codewords are the sub-vectors of the first ``PQ_K`` vectors by
     vec_id — the same deterministic-sample quantizer as the IVF coarse
@@ -1061,7 +1064,7 @@ def _collect_pq_codebook(n: DataFrame) -> tuple:
     C = np.stack(
         [V[:, m * PQ_SUB:(m + 1) * PQ_SUB] for m in range(PQ_M)]
     )  # (M, K, SUB)
-    return C, code_ids
+    return C, code_ids, V
 
 
 def ann_pq_topk(embs: DataFrame) -> DataFrame:
@@ -1099,15 +1102,12 @@ def ann_pq_topk(embs: DataFrame) -> DataFrame:
     import numpy as np
 
     n = _vectors(embs)
-    C, _ = _collect_pq_codebook(n)
-    qrows = (
-        n.filter(F.col("vec_id") < N_QUERIES)
-        .select("vec_id", "v")
-        .orderBy("vec_id")
-        .collect()
-    )
-    qids = np.asarray([int(r.vec_id) for r in qrows])
-    Q = np.asarray([[float(x) for x in r.v] for r in qrows])
+    C, code_ids, V16 = _collect_pq_codebook(n)
+    # queries are vec_id < N_QUERIES <= PQ_K: slice them from the same
+    # 16-row collect instead of running a second driver job
+    qsel = code_ids < N_QUERIES
+    qids = code_ids[qsel].astype(np.int64)
+    Q = V16[qsel]
 
     def score(batches):
         import pandas as pd
@@ -1277,19 +1277,36 @@ def ann_ivfpq_topk(embs: DataFrame) -> DataFrame:
     with a corpus-independent constant. Exact re-rank touches
     k * oversample full vectors per query.
 
-    Oracle parity: cell assignment is :func:`_assign_cells` (argmax of
-    6dp-rounded cosines, ties to lower cell); probes are
+    Oracle parity: cell assignment uses :func:`_assign_cells`'s exact
+    math (dimension-order fold, 6dp round with the 1e-9 epsilon, argmax
+    ties to lower cell), fused into the scoring kernel below; probes are
     :func:`_probe_cells_local` (same key); PQ encode/decode-dot follows
     :func:`ann_pq_topk`'s fold/round discipline; the approx candidate
     cut orders (approx DESC, vec_id ASC); exact re-rank is the shared
     ``_dot``/6dp cosine. IVF_CELLS == PQ_K, so both codebooks are the
-    same deterministic first-16 sample."""
+    same deterministic first-16 sample — collected ONCE and sliced into
+    both the coarse-quantizer matrix and the PQ sub-codebooks.
+
+    Fused single-pass kernel: assignment + PQ decode + probed-cell
+    restriction run in ONE ``mapInPandas`` over the corpus, so the
+    64-double vectors cross the Arrow boundary once (the earlier
+    assign-then-score chain shipped them JVM->Python->JVM->Python
+    twice), and PQ decode touches ONLY rows whose cell is probed by
+    some query — at scale that is N * nprobe / cells rows, exactly the
+    partition-pruned scan :func:`write_cell_partitioned` gives a
+    serving deployment."""
     import numpy as np
 
     n = _vectors(embs)
     cents = _collect_centroids(n)
-    C, _ = _collect_pq_codebook(n)
-    assigned = _assign_cells(n, cents)
+    assert IVF_CELLS == PQ_K, "shared first-K sample requires equal sizes"
+    V16 = np.asarray([cv for _, cv, _ in cents], dtype=np.float64)
+    C = np.stack(
+        [V16[:, m * PQ_SUB:(m + 1) * PQ_SUB] for m in range(PQ_M)]
+    )  # (M, K, SUB) — same layout as _collect_pq_codebook, zero extra jobs
+    Cc = V16                                     # coarse-quantizer matrix
+    ccn = np.asarray([x for _, _, x in cents], dtype=np.float64)
+    cent_ids = np.asarray([cid for cid, _, _ in cents], dtype=np.int64)
     queries = [(cid, cv, cn) for cid, cv, cn in cents if cid < N_QUERIES]
     probe_rows = _probe_cells_local(queries, cents)
     qids = np.asarray(sorted({qid for qid, *_ in probe_rows}))
@@ -1298,34 +1315,53 @@ def ann_ivfpq_topk(embs: DataFrame) -> DataFrame:
     cells_by_q = {int(q): set() for q in qids}
     for qid, _, _, cid in probe_rows:
         cells_by_q[int(qid)].add(int(cid))
+    probed_union = np.asarray(
+        sorted(set().union(*cells_by_q.values())), dtype=np.int64
+    )
 
     def score(batches):
         import pandas as pd
 
+        empty = pd.DataFrame(
+            {"query_id": pd.Series([], dtype="int64"),
+             "vec_id": pd.Series([], dtype="int64"),
+             "approx": pd.Series([], dtype="float64")}
+        )
+        yielded = False
         for pdf in batches:
             if len(pdf) == 0:
-                yield pd.DataFrame(
-                    {"query_id": pd.Series([], dtype="int64"),
-                     "vec_id": pd.Series([], dtype="int64"),
-                     "approx": pd.Series([], dtype="float64")}
-                )
                 continue
             V = np.stack(pdf["v"].to_numpy())
+            # coarse assignment — _assign_cells' exact dimension-order
+            # fold + 6dp/1e-9 round + first-max argmax, inlined
+            acc = np.zeros((len(pdf), len(ccn)))
+            for d in range(Cc.shape[1]):
+                acc += V[:, d, None] * Cc[None, :, d]
+            ccos = np.round(
+                acc / (pdf["nrm"].to_numpy()[:, None] * ccn[None, :]) + 1e-9,
+                6,
+            )
+            cell_ids = cent_ids[np.argmax(ccos, axis=1)]
+            # PQ decode only rows in SOME query's probed cell
+            usel = np.isin(cell_ids, probed_union)
+            if not usel.any():
+                continue
+            V = V[usel]
+            vec_ids = pdf["vec_id"].to_numpy(dtype=np.int64)[usel]
+            cell_ids = cell_ids[usel]
             DV = np.empty_like(V)
             for m in range(PQ_M):
                 Vm = V[:, m * PQ_SUB:(m + 1) * PQ_SUB]
-                dist = np.zeros((len(pdf), C.shape[1]))
+                dist = np.zeros((len(V), C.shape[1]))
                 for d in range(PQ_SUB):
                     diff = Vm[:, d, None] - C[m, None, :, d]
                     dist += diff * diff
                 codes_m = np.argmin(np.round(dist + 1e-9, 6), axis=1)
                 DV[:, m * PQ_SUB:(m + 1) * PQ_SUB] = C[m][codes_m]
-            acc = np.zeros((len(pdf), len(qids)))
+            acc = np.zeros((len(V), len(qids)))
             for d in range(EMB_DIM):
                 acc += DV[:, d, None] * Q[None, :, d]
             approx = np.round(acc + 1e-9, 6)
-            vec_ids = pdf["vec_id"].to_numpy(dtype=np.int64)
-            cell_ids = pdf["cell_id"].to_numpy(dtype=np.int64)
             frames = []
             for qi, qid in enumerate(qids):
                 probed = np.asarray(sorted(cells_by_q[int(qid)]))
@@ -1338,9 +1374,12 @@ def ann_ivfpq_topk(embs: DataFrame) -> DataFrame:
                     "approx": approx[sel, qi],
                 }))
             if frames:
+                yielded = True
                 yield pd.concat(frames, ignore_index=True)
+        if not yielded:
+            yield empty
 
-    scored = assigned.mapInPandas(
+    scored = n.mapInPandas(
         score, schema="query_id long, vec_id long, approx double"
     ).filter(F.col("query_id") != F.col("vec_id"))
 

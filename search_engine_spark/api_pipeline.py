@@ -165,6 +165,13 @@ def q_ann_ivfpq_topk(spark, sf_dir):
     return embeddings.ann_ivfpq_topk(_embs(spark, sf_dir))
 
 
+def q_kmeans_clusters(spark, sf_dir):
+    """Lloyd's k-means over embeddings (iterative: exact-int assign,
+    distributed centroid update, IEEE-deterministic re-assign) — the
+    trained-quantizer counterpart of the IVF/PQ first-K samples."""
+    return embeddings.kmeans_clusters(_embs(spark, sf_dir))
+
+
 # --- multimodal -----------------------------------------------------------
 
 
@@ -520,6 +527,7 @@ PIPELINE_QUERIES: dict = {
     "ann_sq_topk": q_ann_sq_topk,
     "ann_pq_topk": q_ann_pq_topk,
     "ann_ivfpq_topk": q_ann_ivfpq_topk,
+    "kmeans_clusters": q_kmeans_clusters,
     "multimodal_features": q_multimodal_features,
     "video_frames": q_video_frames,
 }
@@ -558,6 +566,7 @@ PIPELINE_ORACLES: dict = {
     "ann_sq_topk": embeddings.SQL_ANN_SQ_TOPK,
     "ann_pq_topk": embeddings.SQL_ANN_PQ_TOPK,
     "ann_ivfpq_topk": embeddings.SQL_ANN_IVFPQ_TOPK,
+    "kmeans_clusters": embeddings.SQL_KMEANS_CLUSTERS,
     "multimodal_features": multimodal.SQL_MULTIMODAL_FEATURES,
     "video_frames": multimodal.SQL_VIDEO_FRAMES,
 }

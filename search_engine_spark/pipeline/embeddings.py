@@ -1481,3 +1481,213 @@ ranked AS (
 )
 SELECT query_id, rank, vec_id, cosine FROM ranked WHERE rank <= {ANN_K}
 """
+
+
+# --- k-means clustering (trained quantizer; iterative algorithm) -----------
+
+KMEANS_K = 8        # clusters
+KMEANS_SCALE = 10**6  # fixed-point: coord -> round(coord * 1e6) as int64
+
+
+def kmeans_clusters(embs: DataFrame) -> DataFrame:
+    """(vec_id, cluster_id, cluster_size) — Lloyd's k-means over the
+    embedding column: deterministic first-``KMEANS_K`` init, one exact
+    assignment round, one distributed centroid update, one final
+    assignment. This is the *trained* counterpart of the IVF coarse
+    quantizer (which is assignment-only by design so its oracle stays
+    closed-form); k-means is the iterative-algorithm representative of
+    the operator family — the loop a production system runs offline to
+    train IVF cells / PQ codebooks (re-expresses the reference's
+    build-then-serve split: training is a batch job, serving ships the
+    tiny centroid matrix in a closure).
+
+    Cross-engine exactness discipline (why this hash-gates):
+    - Coordinates are fixed-point quantized ONCE:
+      ``xq_d = round(v_d * 1e6 + 1e-9)`` as int64 (the shared epsilon
+      dodges decimal-halfway disagreement; both engines round the same
+      IEEE double away from zero).
+    - Round-1 distances are **exact integer** sums of squared diffs
+      against the integer init centroids — no float order sensitivity
+      at all. Ties argmin to the lower cluster_id (np.argmin first-min
+      == the oracle window's dist ASC, cid ASC).
+    - The centroid update is an **exact integer** per-dimension sum +
+      count (map-side partial hash agg over K x 64 = 512 keys); the new
+      centroid coordinate is the single IEEE division ``s_d / n`` —
+      bit-identical in numpy, Spark and DuckDB.
+    - Round-2 distances fold ``(xq_d - c_d)^2`` in dimension order
+      (``acc += diff*diff`` for d = 0..63), the same sequential left
+      fold as the oracle's left-associated 64-term sum.
+
+    Scale shape (10^9 vectors): each assignment is ONE narrow Arrow
+    pass with the K x 64 centroid matrix in the closure (zero join,
+    zero Exchange — the `_assign_cells` pattern); the update's explode
+    feeds a hash aggregate with 512 distinct keys, so partial
+    aggregation collapses each task's contribution to <= 512 rows
+    before the only (tiny) shuffle; the driver holds K x 64 longs.
+    Per-iteration cost is exactly two corpus scans; empty clusters keep
+    their previous centroid (mirrored in the oracle via per-dimension
+    COALESCE).
+    """
+    import numpy as np
+    import pandas as pd
+
+    n = _vectors(embs)
+    xq = n.select(
+        "vec_id",
+        F.transform(
+            F.col("v"),
+            lambda x: F.round(x * KMEANS_SCALE + 1e-9).cast("long"),
+        ).alias("x"),
+    )
+
+    init_rows = (
+        xq.filter(F.col("vec_id") < KMEANS_K).orderBy("vec_id").collect()
+    )
+    C0 = np.asarray([[int(c) for c in r.x] for r in init_rows], dtype=np.int64)
+    cids0 = np.asarray([int(r.vec_id) for r in init_rows], dtype=np.int64)
+
+    def _assign_kernel(C, cids, exact_int):
+        """One narrow Arrow pass: argmin squared distance to closure C."""
+
+        def assign(batches):
+            for pdf in batches:
+                if len(pdf) == 0:
+                    yield pd.DataFrame(
+                        {"vec_id": pd.Series([], dtype="int64"),
+                         "x": pd.Series([], dtype="object"),
+                         "cluster_id": pd.Series([], dtype="int64")}
+                    )
+                    continue
+                X = np.stack(pdf["x"].to_numpy()).astype(
+                    np.int64 if exact_int else np.float64
+                )
+                Cm = C if exact_int else C.astype(np.float64)
+                dist = np.zeros((len(pdf), len(cids)),
+                                dtype=np.int64 if exact_int else np.float64)
+                for d in range(X.shape[1]):
+                    diff = X[:, d, None] - Cm[None, :, d]
+                    dist += diff * diff
+                yield pdf.assign(cluster_id=cids[np.argmin(dist, axis=1)])
+
+        return assign
+
+    assigned1 = xq.mapInPandas(
+        _assign_kernel(C0, cids0, exact_int=True),
+        schema="vec_id long, x array<long>, cluster_id long",
+    )
+
+    # centroid update: exact integer per-dim sums via a 512-key hash agg
+    upd = (
+        assigned1.select(
+            "cluster_id", F.posexplode(F.col("x")).alias("d", "xd")
+        )
+        .groupBy("cluster_id", "d")
+        .agg(F.sum("xd").alias("s"), F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    )
+    S = {}
+    for r in upd:
+        S.setdefault(int(r.cluster_id), [None] * EMB_DIM)[int(r.d)] = (
+            int(r.s), int(r.cnt)
+        )
+    C1 = np.empty((KMEANS_K, EMB_DIM), dtype=np.float64)
+    for j in range(KMEANS_K):
+        if j in S:
+            C1[j] = [s / cnt for s, cnt in S[j]]
+        else:  # empty cluster keeps its init centroid
+            C1[j] = C0[j].astype(np.float64)
+
+    assigned2 = xq.mapInPandas(
+        _assign_kernel(C1, cids0, exact_int=False),
+        schema="vec_id long, x array<long>, cluster_id long",
+    )
+
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("cluster_id")
+    return (
+        assigned2.select("vec_id", "cluster_id")
+        .withColumn("cluster_size", F.count(F.lit(1)).over(w))
+        .select("vec_id", "cluster_id", "cluster_size")
+    )
+
+
+def _sql_kmeans_int_dist(xcol: str, ccol: str) -> str:
+    """Exact-integer left-assoc sum of squared diffs over 64 dims."""
+    return " + ".join(
+        f"({xcol}[{d + 1}] - {ccol}[{d + 1}])"
+        f" * ({xcol}[{d + 1}] - {ccol}[{d + 1}])"
+        for d in range(EMB_DIM)
+    )
+
+
+def _sql_kmeans_dbl_dist(xcol: str, calias: str) -> str:
+    """Left-assoc fold of (x_d::DOUBLE - c_d)^2 against per-dim centroid
+    columns ``{calias}.c{d}`` — same IEEE sequence as the kernel's
+    dimension-order ``acc += diff*diff``."""
+    return " + ".join(
+        f"(CAST({xcol}[{d + 1}] AS DOUBLE) - {calias}.c{d})"
+        f" * (CAST({xcol}[{d + 1}] AS DOUBLE) - {calias}.c{d})"
+        for d in range(EMB_DIM)
+    )
+
+
+_SQL_KMEANS_SUMS = ",\n           ".join(
+    f"sum(x[{d + 1}])::BIGINT AS s{d}" for d in range(EMB_DIM)
+)
+
+_SQL_KMEANS_CENTS1 = ",\n           ".join(
+    f"CASE WHEN u.cluster_id IS NULL THEN CAST(c0.c[{d + 1}] AS DOUBLE)\n"
+    f"                ELSE CAST(u.s{d} AS DOUBLE) / u.cnt END AS c{d}"
+    for d in range(EMB_DIM)
+)
+
+SQL_KMEANS_CLUSTERS = rf"""
+WITH xq AS (
+    SELECT vec_id::BIGINT AS vec_id,
+           list_transform(embedding::DOUBLE[],
+                          e -> CAST(round(e * {KMEANS_SCALE} + 1e-9) AS BIGINT))
+               AS x
+    FROM embeddings
+),
+c0 AS (
+    SELECT vec_id AS cluster_id, x AS c FROM xq WHERE vec_id < {KMEANS_K}
+),
+a1 AS (
+    SELECT vec_id, cluster_id FROM (
+        SELECT xq.vec_id, c0.cluster_id,
+               row_number() OVER (
+                   PARTITION BY xq.vec_id
+                   ORDER BY {_sql_kmeans_int_dist('xq.x', 'c0.c')} ASC,
+                            c0.cluster_id ASC
+               ) AS rk
+        FROM xq CROSS JOIN c0
+    ) WHERE rk = 1
+),
+u AS (
+    SELECT a1.cluster_id,
+           {_SQL_KMEANS_SUMS},
+           count(*)::BIGINT AS cnt
+    FROM a1 JOIN xq USING (vec_id)
+    GROUP BY a1.cluster_id
+),
+c1 AS (
+    SELECT c0.cluster_id,
+           {_SQL_KMEANS_CENTS1}
+    FROM c0 LEFT JOIN u USING (cluster_id)
+),
+a2 AS (
+    SELECT vec_id, cluster_id FROM (
+        SELECT xq.vec_id, c1.cluster_id,
+               row_number() OVER (
+                   PARTITION BY xq.vec_id
+                   ORDER BY {_sql_kmeans_dbl_dist('xq.x', 'c1')} ASC,
+                            c1.cluster_id ASC
+               ) AS rk
+        FROM xq CROSS JOIN c1
+    ) WHERE rk = 1
+)
+SELECT vec_id, cluster_id,
+       count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+FROM a2
+"""

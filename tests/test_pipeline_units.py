@@ -950,3 +950,99 @@ def test_latest_capture_single_exchange_and_winner(spark):
     assert rows["doc://1"].n_captures == 1
     assert rows["doc://1"].latest_text_hash == hashlib.md5(base1.encode()).hexdigest()
     assert rows["doc://1"].first_us == rows["doc://1"].latest_us == 1_000_000
+
+
+def test_kmeans_separated_blobs_never_co_cluster(spark):
+    """Two far-apart blobs: after the update + re-assign, no vector
+    co-clusters with a vector from the other blob (init centroids 0-3
+    live in blob A, 4-7 in blob B, so every point's nearest trained
+    centroid is inside its own blob)."""
+    import random
+
+    rng = random.Random(7)
+    rows = []
+    for vid in range(40):
+        blob = 0 if (vid < 4 or (8 <= vid < 24)) else 1
+        base = 0.0 if blob == 0 else 1000.0
+        rows.append(
+            (vid, [base + rng.uniform(-1, 1) for _ in range(emb.EMB_DIM)], blob)
+        )
+    sdf = spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+    got = emb.kmeans_clusters(sdf).collect()
+    blob_of = {vid: b for vid, _, b in rows}
+    by_cluster = {}
+    for r in got:
+        by_cluster.setdefault(r.cluster_id, set()).add(blob_of[r.vec_id])
+    for cid, blobs in by_cluster.items():
+        assert len(blobs) == 1, f"cluster {cid} mixes blobs: {blobs}"
+    sizes = {r.vec_id: r.cluster_size for r in got}
+    assert sum(1 for _ in got) == 40 and min(sizes.values()) >= 1
+
+
+def test_kmeans_empty_cluster_keeps_init_and_matches_oracle(spark):
+    """vec 0 and vec 1 identical: round-1 ties send both to cluster 0,
+    cluster 1 is empty at update time and must keep its init centroid
+    (per-dimension COALESCE in the oracle) — the gate stays hash-exact
+    on exactly this corpus."""
+    import duckdb
+
+    rows = []
+    for vid in range(20):
+        v = [float((vid if vid != 1 else 0) * 3 + d % 5) for d in range(emb.EMB_DIM)]
+        rows.append((vid, v, 0))
+    sdf = spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+    srows = sorted(tuple(r) for r in emb.kmeans_clusters(sdf).collect())
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE embeddings(vec_id BIGINT, embedding DOUBLE[], label BIGINT)"
+    )
+    con.executemany("INSERT INTO embeddings VALUES (?, ?, ?)", rows)
+    orows = sorted(tuple(r) for r in con.execute(emb.SQL_KMEANS_CLUSTERS).fetchall())
+    assert srows == orows
+    # both identical vectors landed in the same (lower-id) cluster
+    cl = {r[0]: r[1] for r in srows}
+    assert cl[0] == cl[1]
+
+
+def test_kmeans_assign_is_zero_exchange(spark):
+    """The assignment pass is a narrow plan: no Exchange anywhere in
+    the mapInPandas assign stage (the only shuffles in the whole gate
+    are the 512-key update agg and the final size window)."""
+    sf = "/root/testdata/sf0.001"
+    embs = spark.read.parquet(f"{sf}/embeddings.parquet")
+    import numpy as np
+
+    n = emb._vectors(embs)
+    xq = n.select(
+        "vec_id",
+        F.transform(
+            F.col("v"),
+            lambda x: F.round(x * emb.KMEANS_SCALE + 1e-9).cast("long"),
+        ).alias("x"),
+    )
+    init = xq.filter(F.col("vec_id") < emb.KMEANS_K).orderBy("vec_id").collect()
+    C0 = np.asarray([[int(c) for c in r.x] for r in init], dtype=np.int64)
+    cids = np.asarray([int(r.vec_id) for r in init], dtype=np.int64)
+    assigned = xq.mapInPandas(
+        _kmeans_assign_for_test(C0, cids),
+        schema="vec_id long, x array<long>, cluster_id long",
+    )
+    plan = assigned._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+
+
+def _kmeans_assign_for_test(C, cids):
+    import numpy as np
+    import pandas as pd
+
+    def assign(batches):
+        for pdf in batches:
+            X = np.stack(pdf["x"].to_numpy()).astype(np.int64)
+            dist = np.zeros((len(pdf), len(cids)), dtype=np.int64)
+            for d in range(X.shape[1]):
+                diff = X[:, d, None] - C[None, :, d]
+                dist += diff * diff
+            yield pdf.assign(cluster_id=cids[np.argmin(dist, axis=1)])
+
+    return assign

@@ -606,3 +606,104 @@ def test_watermarked_window_agg_finalizes_and_drops_late(spark, tmp_path):
         .collect()
     }
     assert with_plant[late_key] == got[late_key][0] + 1
+
+
+def test_dedup_stream_first_seen_wins_across_microbatches(spark, tmp_path):
+    """Streaming exact dedup: (1) survivors equal the batch gate's
+    survivor set over an in-order replay, (2) a duplicate arriving in a
+    LATER micro-batch is suppressed by cross-batch state."""
+    from search_engine_spark.pipeline.dedup import exact_dups
+    from search_engine_spark.streaming.dedup import dedup_stream
+
+    texts = {
+        0: "alpha beta gamma",
+        1: "delta epsilon",
+        2: "  ALPHA   beta GAMMA ",   # dup of 0 after normalization
+        3: "zeta eta",
+        4: "delta epsilon",            # dup of 1, later micro-batch
+        5: "unique tail",
+    }
+    schema = "doc_id long, text string"
+    rows = sorted(texts.items())
+    in_dir = tmp_path / "docs"
+    in_dir.mkdir()
+    for i, chunk in enumerate([rows[:2], rows[2:4], rows[4:]]):
+        df = spark.createDataFrame(chunk, schema)
+        df.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / f"s{i}"))
+        part = next((tmp_path / f"s{i}").glob("part-*.parquet"))
+        part.rename(in_dir / f"batch{i}.parquet")
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(in_dir))
+    )
+    q = (
+        dedup_stream(stream)
+        .writeStream.format("memory")
+        .queryName("dedup_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = {r.doc_id for r in spark.table("dedup_out").collect()}
+
+    batch = exact_dups(spark.createDataFrame(rows, schema))
+    survivors = {
+        r.doc_id for r in batch.collect() if not r.is_duplicate
+    }
+    assert got == survivors == {0, 1, 3, 5}
+
+
+def test_dedup_stream_within_watermark_bounds_state(spark, tmp_path):
+    """dropDuplicatesWithinWatermark: a re-arrival inside the horizon
+    is suppressed; one far beyond it is re-emitted (state was evicted)
+    — the bounded-state trade stated in the module docstring."""
+    from datetime import datetime
+
+    from search_engine_spark.streaming.dedup import (
+        dedup_stream_within_watermark,
+    )
+
+    schema = "doc_id long, text string, ts timestamp_ntz"
+    t0 = datetime(2026, 1, 1, 0, 0, 0)
+
+    def at(h):
+        return datetime(2026, 1, 1, 0, 0, 0).replace(hour=h % 24, day=1 + h // 24)
+
+    b0 = [(0, "same text", at(0)), (1, "other", at(0))]
+    b1 = [(2, "same text", at(1))]        # 1h later: inside 2h horizon
+    b2 = [(3, "advance", at(30))]         # push watermark far ahead
+    # eviction lags one batch: the watermark from b2's data takes
+    # effect in b3, whose END-of-batch eviction finally drops the
+    # expired "same text" state — so the re-arrival goes in b4
+    b3 = [(5, "advance two", at(30))]
+    b4 = [(4, "same text", at(31))]       # re-arrival after eviction
+    in_dir = tmp_path / "docs"
+    in_dir.mkdir()
+    for i, chunk in enumerate([b0, b1, b2, b3, b4]):
+        df = spark.createDataFrame(chunk, schema)
+        df.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / f"s{i}"))
+        part = next((tmp_path / f"s{i}").glob("part-*.parquet"))
+        part.rename(in_dir / f"batch{i}.parquet")
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(in_dir))
+    )
+    q = (
+        dedup_stream_within_watermark(stream, watermark="2 hours")
+        .writeStream.format("memory")
+        .queryName("dedup_wm_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = {r.doc_id for r in spark.table("dedup_wm_out").collect()}
+
+    assert 0 in got and 1 in got and 3 in got and 5 in got
+    assert 2 not in got, "in-horizon duplicate must be suppressed"
+    assert 4 in got, "post-eviction re-arrival is re-emitted by design"

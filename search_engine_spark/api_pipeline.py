@@ -45,6 +45,13 @@ def q_lang_id(spark, sf_dir):
     return textstats.lang_id(_docs(spark, sf_dir))
 
 
+def q_quality_quantiles(spark, sf_dir):
+    """Per-language binned-histogram quantiles of quality_score — the
+    bounded-cardinality grouped-quantile plan that survives 10^9 docs
+    (exact percentile sorts per group; GK sketches can't hash-gate)."""
+    return textstats.quality_quantiles(_docs(spark, sf_dir))
+
+
 def q_fingerprints(spark, sf_dir):
     """Winnowing fingerprints (rolling-hash document sketch)."""
     return textstats.fingerprints(_docs(spark, sf_dir))
@@ -505,6 +512,7 @@ PIPELINE_QUERIES: dict = {
     "phrase_topk": q_phrase_topk,
     "text_stats": q_text_stats,
     "lang_id": q_lang_id,
+    "quality_quantiles": q_quality_quantiles,
     "fingerprints": q_fingerprints,
     "repetition_stats": q_repetition_stats,
     "lm_score": q_lm_score,
@@ -544,6 +552,7 @@ PIPELINE_ORACLES: dict = {
     "phrase_topk": _SQL_PHRASE_TOPK,
     "text_stats": textstats.SQL_TEXT_STATS,
     "lang_id": textstats.SQL_LANG_ID,
+    "quality_quantiles": textstats.SQL_QUALITY_QUANTILES,
     "fingerprints": textstats.SQL_FINGERPRINTS,
     "repetition_stats": textstats.SQL_REPETITION_STATS,
     "lm_score": corpus_stats.SQL_LM_SCORE,

@@ -1046,3 +1046,47 @@ def _kmeans_assign_for_test(C, cids):
             yield pdf.assign(cluster_id=cids[np.argmin(dist, axis=1)])
 
     return assign
+
+
+def test_quality_quantiles_error_bound_and_oracle(spark):
+    """Binned quantiles: within one bin width (1e-4) of the exact
+    type-1 quantile of the same quality values, monotone in q, and
+    hash-exact vs the DuckDB oracle on a planted corpus."""
+    import math
+
+    from search_engine_spark.pipeline import textstats as ts
+
+    rows = [
+        (i, " ".join(f"w{j % (1 + i % 37)}" for j in range(5 + (i * 7) % 300)),
+         ["en", "de"][i % 2])
+        for i in range(200)
+    ]
+    sdf = spark.createDataFrame(rows, ["doc_id", "text", "lang"])
+    got = ts.quality_quantiles(sdf).collect()
+    stats = ts.text_stats(sdf).collect()
+    lang_of = {r[0]: r[2] for r in rows}
+    by_lang = {}
+    for r in stats:
+        by_lang.setdefault(lang_of[r.doc_id], []).append(r.quality_score)
+
+    for r in got:
+        vals = sorted(by_lang[r.lang])
+        exact = vals[max(0, math.ceil(r.q * len(vals)) - 1)]
+        assert abs(r.quantile_score - exact) <= 1e-4 + 1e-6, (
+            r.lang, r.q, r.quantile_score, exact
+        )
+        assert r.n_docs == len(vals)
+    for lang in ("en", "de"):
+        qs_sorted = sorted(
+            (r.q, r.quantile_score) for r in got if r.lang == lang
+        )
+        vals = [v for _, v in qs_sorted]
+        assert vals == sorted(vals), f"non-monotone quantiles for {lang}"
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents(doc_id BIGINT, text VARCHAR, lang VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?, ?)", rows)
+    orows = sorted(
+        tuple(r) for r in con.execute(ts.SQL_QUALITY_QUANTILES).fetchall()
+    )
+    assert sorted(tuple(r) for r in got) == orows

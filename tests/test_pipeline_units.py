@@ -1090,3 +1090,29 @@ def test_quality_quantiles_error_bound_and_oracle(spark):
         tuple(r) for r in con.execute(ts.SQL_QUALITY_QUANTILES).fetchall()
     )
     assert sorted(tuple(r) for r in got) == orows
+
+
+def test_quality_quantiles_plan_shape(spark):
+    """The quantile plan must (1) partial-aggregate (lang, bin) counts
+    map-side BEFORE the first Exchange — that's what bounds every
+    task's output to langs x (BINS+1) rows at any corpus size — and
+    (2) column-prune the scan to (text, lang)."""
+    from search_engine_spark.pipeline import textstats as ts
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = (
+        ts.quality_quantiles(docs)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    import re
+
+    agg_at = plan.index("partial_count")
+    m = re.search(r"Exchange hashpartitioning\(lang#\d+, bin#\d+", plan)
+    assert m is not None, plan
+    # plans print top-down, so the upstream partial agg appears BELOW
+    # (after) the (lang, bin) Exchange that consumes it
+    assert agg_at > m.start(), plan
+    scan = plan[plan.index("ReadSchema"):].splitlines()[0]
+    assert "text" in scan and "lang" in scan and "doc_id" not in scan, scan

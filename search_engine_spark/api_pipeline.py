@@ -93,6 +93,13 @@ def q_latest_capture(spark, sf_dir):
     return crawl.latest_capture(crawl.multi_capture_pages(_docs(spark, sf_dir)))
 
 
+def q_url_canonical(spark, sf_dir):
+    """Canonical-URL normalization + alias consolidation: fragment /
+    utm-param stripping, host+scheme lowercasing, default-port removal
+    as a zero-Exchange projection, then one bounded hash aggregate."""
+    return crawl.url_canonical(_docs(spark, sf_dir))
+
+
 def q_pii_scrub(spark, sf_dir):
     """PII redaction (emails/phones/IPv4) with typed placeholders +
     removal counts; zero-Exchange per-row projection."""
@@ -520,6 +527,7 @@ PIPELINE_QUERIES: dict = {
     "source_stats": q_source_stats,
     "corpus_rollup": q_corpus_rollup,
     "latest_capture": q_latest_capture,
+    "url_canonical": q_url_canonical,
     "pii_scrub": q_pii_scrub,
     "dedup_exact": q_dedup_exact,
     "minhash_signatures": q_minhash_signatures,
@@ -560,6 +568,7 @@ PIPELINE_ORACLES: dict = {
     "source_stats": corpus_stats.SQL_SOURCE_STATS,
     "corpus_rollup": corpus_stats.SQL_CORPUS_ROLLUP,
     "latest_capture": crawl.SQL_LATEST_CAPTURE,
+    "url_canonical": crawl.SQL_URL_CANONICAL,
     "pii_scrub": crawl.SQL_PII_SCRUB,
     "dedup_exact": dedup.SQL_EXACT_DUPS,
     "minhash_signatures": dedup.SQL_MINHASH_SIGNATURES,

@@ -209,3 +209,136 @@ SELECT doc_id,
            '{IP_RE}', '<IP>', 'g')) AS scrubbed_hash
 FROM injected
 """
+
+
+# --- canonical URL normalization -------------------------------------------
+# Every pattern below is in the RE2 / java.util.regex common subset and
+# every regexp_replace uses a LITERAL replacement (no capture refs — Spark
+# spells them $1, DuckDB \1, so the shared-SQL discipline forbids them).
+
+_FRAGMENT_RE = r"#.*$"
+_UTM_MID_RE = r"utm_[a-z]+=[^&#]*&"      # tracking param followed by more
+_UTM_TAIL_RE = r"[?&]utm_[a-z]+=[^&#]*$"  # tracking param at the end
+_SPLIT_RE = r"^([a-zA-Z]+)://([^/?#]+)(.*)$"
+
+
+def url_normalize(pages: DataFrame, url_col: str = "url") -> DataFrame:
+    """Adds ``url_norm``: the canonical form of ``url_col`` —
+    fragment stripped, ``utm_*`` tracking params removed (dangling
+    ``?``/``&`` cleaned), scheme and host lowercased, default ports
+    (``:80`` for http, ``:443`` for https) dropped, empty path
+    normalized to ``/``.
+
+    This is the aliasing collapse every crawl consolidation runs
+    BEFORE :func:`latest_capture` — without it the same page appears
+    under mixed-case hosts / tracking-tagged links and the per-url
+    merge under-counts captures.
+
+    Scale shape: a pure per-row projection of JVM ``regexp_*`` /
+    ``lower`` / ``concat`` expressions — zero Exchange, whole-stage
+    codegen, no Python. The identical operation sequence is expressed
+    in shared-syntax SQL (no capture-group replacements), so the
+    DuckDB oracle reproduces it byte-for-byte.
+    """
+    u = F.col(url_col)
+    u = F.regexp_replace(u, _FRAGMENT_RE, "")
+    u = F.regexp_replace(u, _UTM_MID_RE, "")
+    u = F.regexp_replace(u, _UTM_TAIL_RE, "")
+    u = F.regexp_replace(u, r"[?&]$", "")   # dangling separator
+    scheme = F.lower(F.regexp_extract(u, _SPLIT_RE, 1))
+    auth = F.lower(F.regexp_extract(u, _SPLIT_RE, 2))
+    rest = F.regexp_extract(u, _SPLIT_RE, 3)
+    auth = F.when(scheme == "http", F.regexp_replace(auth, r":80$", "")) \
+        .when(scheme == "https", F.regexp_replace(auth, r":443$", "")) \
+        .otherwise(auth)
+    rest = F.when(rest == "", F.lit("/")).otherwise(rest)
+    return pages.withColumn(
+        "url_norm", F.concat(scheme, F.lit("://"), auth, rest)
+    )
+
+
+def synth_messy_urls(docs: DataFrame) -> DataFrame:
+    """(url,) — deterministic alias soup derived from doc_ids: every doc
+    yields its canonical url; every even doc an upper-cased
+    default-port tracking-tagged variant; every 3rd doc a
+    middle-position-utm variant. All aliases of one doc normalize to
+    the same canonical form (the gate's invariant)."""
+    did = F.col("doc_id").cast("long")
+    host = F.concat(F.lit("www.example"), (did % 100).cast("string"),
+                    F.lit(".com"))
+    path = F.concat(F.lit("/p/"), did.cast("string"))
+    qid = F.concat(F.lit("?id="), did.cast("string"))
+    canonical = F.concat(F.lit("http://"), host, path, qid)
+    v1 = F.concat(
+        F.lit("HTTP://"), F.upper(host), F.lit(":80"), path, qid,
+        F.lit("&utm_source=feed#frag"),
+    )
+    v2 = F.concat(
+        F.lit("http://"), host, F.lit(":80"), path,
+        F.lit("?utm_campaign=x&id="), did.cast("string"),
+    )
+    return (
+        docs.select(canonical.alias("url"))
+        .unionAll(docs.filter(did % 2 == 0).select(v1.alias("url")))
+        .unionAll(docs.filter(did % 3 == 0).select(v2.alias("url")))
+    )
+
+
+def url_canonical(docs: DataFrame) -> DataFrame:
+    """(url_norm, n_aliases, sample_url) — the consolidation measure:
+    how many raw crawl urls collapse onto each canonical form (one
+    bounded hash aggregate after the per-row normalization)."""
+    normed = url_normalize(synth_messy_urls(docs))
+    return normed.groupBy("url_norm").agg(
+        F.count(F.lit(1)).cast("long").alias("n_aliases"),
+        F.min("url").alias("sample_url"),
+    )
+
+
+_SQL_URL_NORM = f"""
+norm0 AS (
+    SELECT url,
+           regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+               url, '{_FRAGMENT_RE}', ''),
+               '{_UTM_MID_RE}', '', 'g'),
+               '{_UTM_TAIL_RE}', ''),
+               '[?&]$', '') AS u
+    FROM raw
+),
+parts AS (
+    SELECT url, u,
+           lower(regexp_extract(u, '{_SPLIT_RE}', 1)) AS scheme,
+           lower(regexp_extract(u, '{_SPLIT_RE}', 2)) AS auth,
+           regexp_extract(u, '{_SPLIT_RE}', 3) AS rest
+    FROM norm0
+),
+normed AS (
+    SELECT url,
+           scheme || '://'
+           || CASE WHEN scheme = 'http' THEN regexp_replace(auth, ':80$', '')
+                   WHEN scheme = 'https' THEN regexp_replace(auth, ':443$', '')
+                   ELSE auth END
+           || CASE WHEN rest = '' THEN '/' ELSE rest END AS url_norm
+    FROM parts
+)"""
+
+SQL_URL_CANONICAL = f"""
+WITH raw AS (
+    SELECT 'http://www.example' || (doc_id % 100)::VARCHAR || '.com/p/'
+           || doc_id::VARCHAR || '?id=' || doc_id::VARCHAR AS url
+    FROM documents
+    UNION ALL
+    SELECT 'HTTP://' || upper('www.example' || (doc_id % 100)::VARCHAR
+           || '.com') || ':80/p/' || doc_id::VARCHAR || '?id='
+           || doc_id::VARCHAR || '&utm_source=feed#frag'
+    FROM documents WHERE doc_id % 2 = 0
+    UNION ALL
+    SELECT 'http://www.example' || (doc_id % 100)::VARCHAR || '.com:80/p/'
+           || doc_id::VARCHAR || '?utm_campaign=x&id=' || doc_id::VARCHAR
+    FROM documents WHERE doc_id % 3 = 0
+),
+{_SQL_URL_NORM}
+SELECT url_norm, count(*)::BIGINT AS n_aliases, min(url) AS sample_url
+FROM normed
+GROUP BY url_norm
+"""

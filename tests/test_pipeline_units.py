@@ -1116,3 +1116,34 @@ def test_quality_quantiles_plan_shape(spark):
     assert agg_at > m.start(), plan
     scan = plan[plan.index("ReadSchema"):].splitlines()[0]
     assert "text" in scan and "lang" in scan and "doc_id" not in scan, scan
+
+
+def test_url_normalize_edge_cases(spark):
+    """Hand-checked canonicalization: fragments, utm-only query
+    strings, default vs non-default ports, https, empty path,
+    idempotence (normalizing a canonical form is a no-op)."""
+    from search_engine_spark.pipeline import crawl
+
+    cases = {
+        "http://A.com/x#frag": "http://a.com/x",
+        "http://a.com/x?utm_source=s": "http://a.com/x",
+        "http://a.com/x?utm_source=s&id=1": "http://a.com/x?id=1",
+        "http://a.com/x?id=1&utm_a=1&utm_b=2": "http://a.com/x?id=1",
+        "HTTP://WWW.A.COM:80/x": "http://www.a.com/x",
+        "https://a.com:443/x": "https://a.com/x",
+        "https://a.com:8443/x": "https://a.com:8443/x",  # non-default kept
+        "http://a.com": "http://a.com/",                 # empty path -> /
+        "http://a.com/x?id=1": "http://a.com/x?id=1",    # idempotent
+    }
+    sdf = spark.createDataFrame([(u,) for u in cases], ["url"])
+    got = {r.url: r.url_norm for r in crawl.url_normalize(sdf).collect()}
+    for raw, want in cases.items():
+        assert got[raw] == want, (raw, got[raw], want)
+
+    # idempotence over the full synthesized alias soup
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    normed = crawl.url_normalize(crawl.synth_messy_urls(docs))
+    twice = crawl.url_normalize(
+        normed.select(F.col("url_norm").alias("url"))
+    )
+    assert twice.filter(F.col("url") != F.col("url_norm")).count() == 0

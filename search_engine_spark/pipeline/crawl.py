@@ -217,8 +217,14 @@ FROM injected
 # spells them $1, DuckDB \1, so the shared-SQL discipline forbids them).
 
 _FRAGMENT_RE = r"#.*$"
-_UTM_MID_RE = r"utm_[a-z]+=[^&#]*&"      # tracking param followed by more
-_UTM_TAIL_RE = r"[?&]utm_[a-z]+=[^&#]*$"  # tracking param at the end
+# Anchored to the separator and CONSUMING it, so a non-tracking param
+# that merely ends in "utm_..." (e.g. ``myutm_x=2``) is never touched;
+# the first-separator repair below restores '?' when the leading
+# param was the one removed.
+_UTM_RE = r"[?&]utm_[a-z]+=[^&#]*"
+_HEAD_BEFORE_AMP_RE = r"^([^?&]*)&"     # path part when '&' leads
+_TAIL_AFTER_AMP_RE = r"^[^?&]*&(.*)$"   # params after that first '&'
+_NEEDS_QMARK_RE = r"^[^?]*&"            # '&' appears before any '?'
 _SPLIT_RE = r"^([a-zA-Z]+)://([^/?#]+)(.*)$"
 
 
@@ -242,9 +248,17 @@ def url_normalize(pages: DataFrame, url_col: str = "url") -> DataFrame:
     """
     u = F.col(url_col)
     u = F.regexp_replace(u, _FRAGMENT_RE, "")
-    u = F.regexp_replace(u, _UTM_MID_RE, "")
-    u = F.regexp_replace(u, _UTM_TAIL_RE, "")
-    u = F.regexp_replace(u, r"[?&]$", "")   # dangling separator
+    u = F.regexp_replace(u, _UTM_RE, "")
+    # if the removed tracking param held the '?', the surviving params
+    # lead with '&' — splice a '?' back in at the first separator
+    u = F.when(
+        u.rlike(_NEEDS_QMARK_RE),
+        F.concat(
+            F.regexp_extract(u, _HEAD_BEFORE_AMP_RE, 1),
+            F.lit("?"),
+            F.regexp_extract(u, _TAIL_AFTER_AMP_RE, 1),
+        ),
+    ).otherwise(u)
     scheme = F.lower(F.regexp_extract(u, _SPLIT_RE, 1))
     auth = F.lower(F.regexp_extract(u, _SPLIT_RE, 2))
     rest = F.regexp_extract(u, _SPLIT_RE, 3)
@@ -296,14 +310,21 @@ def url_canonical(docs: DataFrame) -> DataFrame:
 
 
 _SQL_URL_NORM = f"""
+stripped AS (
+    SELECT url,
+           regexp_replace(regexp_replace(
+               url, '{_FRAGMENT_RE}', ''),
+               '{_UTM_RE}', '', 'g') AS u
+    FROM raw
+),
 norm0 AS (
     SELECT url,
-           regexp_replace(regexp_replace(regexp_replace(regexp_replace(
-               url, '{_FRAGMENT_RE}', ''),
-               '{_UTM_MID_RE}', '', 'g'),
-               '{_UTM_TAIL_RE}', ''),
-               '[?&]$', '') AS u
-    FROM raw
+           CASE WHEN regexp_matches(u, '{_NEEDS_QMARK_RE}')
+                THEN regexp_extract(u, '{_HEAD_BEFORE_AMP_RE}', 1)
+                     || '?'
+                     || regexp_extract(u, '{_TAIL_AFTER_AMP_RE}', 1)
+                ELSE u END AS u
+    FROM stripped
 ),
 parts AS (
     SELECT url, u,

@@ -1129,6 +1129,10 @@ def test_url_normalize_edge_cases(spark):
         "http://a.com/x?utm_source=s": "http://a.com/x",
         "http://a.com/x?utm_source=s&id=1": "http://a.com/x?id=1",
         "http://a.com/x?id=1&utm_a=1&utm_b=2": "http://a.com/x?id=1",
+        "http://a.com/x?utm_a=1&id=1&utm_b=2": "http://a.com/x?id=1",
+        "http://a.com/x?utm_a=1&utm_b=2": "http://a.com/x",
+        # a legit param merely ENDING in utm_... must be untouched
+        "http://a.com/x?id=1&myutm_x=2": "http://a.com/x?id=1&myutm_x=2",
         "HTTP://WWW.A.COM:80/x": "http://www.a.com/x",
         "https://a.com:443/x": "https://a.com/x",
         "https://a.com:8443/x": "https://a.com:8443/x",  # non-default kept

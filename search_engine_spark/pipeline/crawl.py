@@ -217,14 +217,15 @@ FROM injected
 # spells them $1, DuckDB \1, so the shared-SQL discipline forbids them).
 
 _FRAGMENT_RE = r"#.*$"
-# Anchored to the separator and CONSUMING it, so a non-tracking param
-# that merely ends in "utm_..." (e.g. ``myutm_x=2``) is never touched;
-# the first-separator repair below restores '?' when the leading
-# param was the one removed.
-_UTM_RE = r"[?&]utm_[a-z]+=[^&#]*"
-_HEAD_BEFORE_AMP_RE = r"^([^?&]*)&"     # path part when '&' leads
-_TAIL_AFTER_AMP_RE = r"^[^?&]*&(.*)$"   # params after that first '&'
-_NEEDS_QMARK_RE = r"^[^?]*&"            # '&' appears before any '?'
+_BASE_RE = r"^([^?]*)"                   # everything before the first '?'
+_QUERY_RE = r"^[^?]*\?(.*)$"             # everything after it
+# The query string is cleaned with a literal '&' PREPENDED first, so
+# every parameter — including the leading one — is '&'-anchored and a
+# non-tracking param that merely ends in "utm_..." (myutm_x=2) can
+# never match. '&' in the PATH is untouched because only the extracted
+# query part is rewritten (RFC 3986 allows '&' as a path sub-delim).
+_UTM_PARAM_RE = r"&utm_[a-z]+=[^&]*"
+_LEAD_AMP_RE = r"^&"
 _SPLIT_RE = r"^([a-zA-Z]+)://([^/?#]+)(.*)$"
 
 
@@ -246,19 +247,20 @@ def url_normalize(pages: DataFrame, url_col: str = "url") -> DataFrame:
     in shared-syntax SQL (no capture-group replacements), so the
     DuckDB oracle reproduces it byte-for-byte.
     """
-    u = F.col(url_col)
-    u = F.regexp_replace(u, _FRAGMENT_RE, "")
-    u = F.regexp_replace(u, _UTM_RE, "")
-    # if the removed tracking param held the '?', the surviving params
-    # lead with '&' — splice a '?' back in at the first separator
-    u = F.when(
-        u.rlike(_NEEDS_QMARK_RE),
-        F.concat(
-            F.regexp_extract(u, _HEAD_BEFORE_AMP_RE, 1),
-            F.lit("?"),
-            F.regexp_extract(u, _TAIL_AFTER_AMP_RE, 1),
+    u = F.regexp_replace(F.col(url_col), _FRAGMENT_RE, "")
+    # split base / query at the first '?', clean ONLY the query part
+    base = F.regexp_extract(u, _BASE_RE, 1)
+    query = F.regexp_extract(u, _QUERY_RE, 1)
+    qclean = F.regexp_replace(
+        F.regexp_replace(
+            F.concat(F.lit("&"), query), _UTM_PARAM_RE, ""
         ),
-    ).otherwise(u)
+        _LEAD_AMP_RE,
+        "",
+    )
+    u = F.when(qclean == "", base).otherwise(
+        F.concat(base, F.lit("?"), qclean)
+    )
     scheme = F.lower(F.regexp_extract(u, _SPLIT_RE, 1))
     auth = F.lower(F.regexp_extract(u, _SPLIT_RE, 2))
     rest = F.regexp_extract(u, _SPLIT_RE, 3)
@@ -310,21 +312,23 @@ def url_canonical(docs: DataFrame) -> DataFrame:
 
 
 _SQL_URL_NORM = f"""
-stripped AS (
+defrag AS (
+    SELECT url, regexp_replace(url, '{_FRAGMENT_RE}', '') AS u FROM raw
+),
+qsplit AS (
     SELECT url,
-           regexp_replace(regexp_replace(
-               url, '{_FRAGMENT_RE}', ''),
-               '{_UTM_RE}', '', 'g') AS u
-    FROM raw
+           regexp_extract(u, '{_BASE_RE}', 1) AS base,
+           regexp_replace(
+               regexp_replace('&' || regexp_extract(u, '{_QUERY_RE}', 1),
+                              '{_UTM_PARAM_RE}', '', 'g'),
+               '{_LEAD_AMP_RE}', '') AS qclean
+    FROM defrag
 ),
 norm0 AS (
     SELECT url,
-           CASE WHEN regexp_matches(u, '{_NEEDS_QMARK_RE}')
-                THEN regexp_extract(u, '{_HEAD_BEFORE_AMP_RE}', 1)
-                     || '?'
-                     || regexp_extract(u, '{_TAIL_AFTER_AMP_RE}', 1)
-                ELSE u END AS u
-    FROM stripped
+           CASE WHEN qclean = '' THEN base
+                ELSE base || '?' || qclean END AS u
+    FROM qsplit
 ),
 parts AS (
     SELECT url, u,

@@ -90,16 +90,25 @@ def _sql_mh(h: str, k: int) -> str:
 # --- exact ----------------------------------------------------------------
 
 
+def content_hash_col(text_col: str = "text") -> "F.Column":
+    """md5 over whitespace-normalized lowercase text — the ONE content
+    identity shared by batch :func:`exact_dups` and the streaming dedup
+    (``streaming/dedup.py``); their batch/stream equivalence contract
+    depends on these never diverging, so there is exactly one
+    definition."""
+    norm = F.regexp_replace(F.trim(F.lower(F.col(text_col))), r"\s+", " ")
+    return F.md5(norm)
+
+
 def exact_dups(docs: DataFrame) -> DataFrame:
     """(doc_id, content_hash, canonical_doc_id, group_size, is_duplicate)
 
     Exact dedup on whitespace-normalized lowercase text. Survivor =
     min(doc_id) per content group.
     """
-    norm = F.regexp_replace(F.trim(F.lower(F.col("text"))), r"\s+", " ")
     hashed = docs.select(
         F.col("doc_id").cast("long").alias("doc_id"),
-        F.md5(norm).alias("content_hash"),
+        content_hash_col().alias("content_hash"),
     )
     groups = hashed.groupBy("content_hash").agg(
         F.min("doc_id").alias("canonical_doc_id"),

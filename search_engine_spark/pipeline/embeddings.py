@@ -1489,6 +1489,45 @@ KMEANS_K = 8        # clusters
 KMEANS_SCALE = 10**6  # fixed-point: coord -> round(coord * 1e6) as int64
 
 
+def _kmeans_assign_kernel(C, cids):
+    """One narrow Arrow pass over (vec_id, x): argmin squared distance
+    to the closure-captured centroid matrix ``C``.
+
+    All math is float64: the quantized coordinates and integer-valued
+    centroids are <= 2^53 so their double images are exact, each
+    ``diff*diff`` rounds identically in numpy / DuckDB, and the
+    accumulator folds in dimension order — the oracle's left-assoc
+    64-term CAST-to-DOUBLE sum, bit for bit. (An int64 accumulator
+    would silently wrap past 2^63 where the oracle's BIGINT raises.)
+    ``np.argmin`` takes the first minimum = (dist ASC, cluster_id ASC)
+    because ``cids`` ascends. Module-level so tests exercise the
+    PRODUCTION kernel's plan shape, not a copy.
+    """
+    import numpy as np
+    import pandas as pd
+
+    C = np.asarray(C, dtype=np.float64)
+    cids = np.asarray(cids, dtype=np.int64)
+
+    def assign(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                yield pd.DataFrame(
+                    {"vec_id": pd.Series([], dtype="int64"),
+                     "x": pd.Series([], dtype="object"),
+                     "cluster_id": pd.Series([], dtype="int64")}
+                )
+                continue
+            X = np.stack(pdf["x"].to_numpy()).astype(np.float64)
+            dist = np.zeros((len(pdf), len(cids)))
+            for d in range(X.shape[1]):
+                diff = X[:, d, None] - C[None, :, d]
+                dist += diff * diff
+            yield pdf.assign(cluster_id=cids[np.argmin(dist, axis=1)])
+
+    return assign
+
+
 def kmeans_clusters(embs: DataFrame) -> DataFrame:
     """(vec_id, cluster_id, cluster_size) — Lloyd's k-means over the
     embedding column: deterministic first-``KMEANS_K`` init, one exact
@@ -1505,18 +1544,24 @@ def kmeans_clusters(embs: DataFrame) -> DataFrame:
     - Coordinates are fixed-point quantized ONCE:
       ``xq_d = round(v_d * 1e6 + 1e-9)`` as int64 (the shared epsilon
       dodges decimal-halfway disagreement; both engines round the same
-      IEEE double away from zero).
-    - Round-1 distances are **exact integer** sums of squared diffs
-      against the integer init centroids — no float order sensitivity
-      at all. Ties argmin to the lower cluster_id (np.argmin first-min
-      == the oracle window's dist ASC, cid ASC).
+      IEEE double away from zero). The quantized ints are <= 2^53, so
+      their float64 images are EXACT.
+    - Distances in both rounds fold ``(x_d - c_d)^2`` over float64 in
+      dimension order (``acc += diff*diff`` for d = 0..63) — the
+      identical IEEE sequence as the oracle's left-associated 64-term
+      sum of CAST-to-DOUBLE operands, so the two engines are
+      bit-identical with NO magnitude ceiling (an int64 distance
+      accumulator would silently wrap in numpy past 2^63 while the
+      oracle's BIGINT raised — float64 can't diverge that way). Ties
+      argmin to the lower cluster_id (np.argmin first-min == the
+      oracle window's dist ASC, cid ASC).
     - The centroid update is an **exact integer** per-dimension sum +
       count (map-side partial hash agg over K x 64 = 512 keys); the new
-      centroid coordinate is the single IEEE division ``s_d / n`` —
-      bit-identical in numpy, Spark and DuckDB.
-    - Round-2 distances fold ``(xq_d - c_d)^2`` in dimension order
-      (``acc += diff*diff`` for d = 0..63), the same sequential left
-      fold as the oracle's left-associated 64-term sum.
+      centroid coordinate is ``float(s) / cnt`` — the explicit
+      round-to-double of the exact sum, then one IEEE division, exactly
+      the oracle's ``CAST(s AS DOUBLE) / cnt`` (plain Python ``s / cnt``
+      would divide the EXACT big int and differ by 1 ulp once
+      s > 2^53).
 
     Scale shape (10^9 vectors): each assignment is ONE narrow Arrow
     pass with the K x 64 centroid matrix in the closure (zero join,
@@ -1529,7 +1574,6 @@ def kmeans_clusters(embs: DataFrame) -> DataFrame:
     COALESCE).
     """
     import numpy as np
-    import pandas as pd
 
     n = _vectors(embs)
     xq = n.select(
@@ -1543,36 +1587,17 @@ def kmeans_clusters(embs: DataFrame) -> DataFrame:
     init_rows = (
         xq.filter(F.col("vec_id") < KMEANS_K).orderBy("vec_id").collect()
     )
-    C0 = np.asarray([[int(c) for c in r.x] for r in init_rows], dtype=np.int64)
+    C0 = np.asarray(
+        [[int(c) for c in r.x] for r in init_rows], dtype=np.float64
+    )
+    # actual ids of the init rows — NOT assumed dense 0..K-1 (a corpus
+    # with < KMEANS_K vectors, or whose smallest vec_ids don't start at
+    # 0, yields fewer/shifted centroids; the oracle's c0 CTE has the
+    # same rows, and every structure below maps by position of cids0)
     cids0 = np.asarray([int(r.vec_id) for r in init_rows], dtype=np.int64)
 
-    def _assign_kernel(C, cids, exact_int):
-        """One narrow Arrow pass: argmin squared distance to closure C."""
-
-        def assign(batches):
-            for pdf in batches:
-                if len(pdf) == 0:
-                    yield pd.DataFrame(
-                        {"vec_id": pd.Series([], dtype="int64"),
-                         "x": pd.Series([], dtype="object"),
-                         "cluster_id": pd.Series([], dtype="int64")}
-                    )
-                    continue
-                X = np.stack(pdf["x"].to_numpy()).astype(
-                    np.int64 if exact_int else np.float64
-                )
-                Cm = C if exact_int else C.astype(np.float64)
-                dist = np.zeros((len(pdf), len(cids)),
-                                dtype=np.int64 if exact_int else np.float64)
-                for d in range(X.shape[1]):
-                    diff = X[:, d, None] - Cm[None, :, d]
-                    dist += diff * diff
-                yield pdf.assign(cluster_id=cids[np.argmin(dist, axis=1)])
-
-        return assign
-
     assigned1 = xq.mapInPandas(
-        _assign_kernel(C0, cids0, exact_int=True),
+        _kmeans_assign_kernel(C0, cids0),
         schema="vec_id long, x array<long>, cluster_id long",
     )
 
@@ -1590,15 +1615,16 @@ def kmeans_clusters(embs: DataFrame) -> DataFrame:
         S.setdefault(int(r.cluster_id), [None] * EMB_DIM)[int(r.d)] = (
             int(r.s), int(r.cnt)
         )
-    C1 = np.empty((KMEANS_K, EMB_DIM), dtype=np.float64)
-    for j in range(KMEANS_K):
-        if j in S:
-            C1[j] = [s / cnt for s, cnt in S[j]]
+    C1 = np.empty((len(cids0), EMB_DIM), dtype=np.float64)
+    for j, cid in enumerate(cids0):
+        if int(cid) in S:
+            # float(s) first == the oracle's CAST(s AS DOUBLE) / cnt
+            C1[j] = [float(s) / cnt for s, cnt in S[int(cid)]]
         else:  # empty cluster keeps its init centroid
-            C1[j] = C0[j].astype(np.float64)
+            C1[j] = C0[j]
 
     assigned2 = xq.mapInPandas(
-        _assign_kernel(C1, cids0, exact_int=False),
+        _kmeans_assign_kernel(C1, cids0),
         schema="vec_id long, x array<long>, cluster_id long",
     )
 
@@ -1612,11 +1638,14 @@ def kmeans_clusters(embs: DataFrame) -> DataFrame:
     )
 
 
-def _sql_kmeans_int_dist(xcol: str, ccol: str) -> str:
-    """Exact-integer left-assoc sum of squared diffs over 64 dims."""
+def _sql_kmeans_list_dist(xcol: str, ccol: str) -> str:
+    """Left-assoc float64 sum of squared diffs over 64 dims, both
+    operands CAST-to-DOUBLE list elements — the kernel's exact IEEE
+    sequence (BIGINT arithmetic would error past 2^63 where the kernel's
+    float64 cannot)."""
     return " + ".join(
-        f"({xcol}[{d + 1}] - {ccol}[{d + 1}])"
-        f" * ({xcol}[{d + 1}] - {ccol}[{d + 1}])"
+        f"(CAST({xcol}[{d + 1}] AS DOUBLE) - CAST({ccol}[{d + 1}] AS DOUBLE))"
+        f" * (CAST({xcol}[{d + 1}] AS DOUBLE) - CAST({ccol}[{d + 1}] AS DOUBLE))"
         for d in range(EMB_DIM)
     )
 
@@ -1658,7 +1687,7 @@ a1 AS (
         SELECT xq.vec_id, c0.cluster_id,
                row_number() OVER (
                    PARTITION BY xq.vec_id
-                   ORDER BY {_sql_kmeans_int_dist('xq.x', 'c0.c')} ASC,
+                   ORDER BY {_sql_kmeans_list_dist('xq.x', 'c0.c')} ASC,
                             c0.cluster_id ASC
                ) AS rk
         FROM xq CROSS JOIN c0

@@ -44,28 +44,16 @@ STOPWORDS_EN = LANG_PROFILES["en"] + ["on", "as", "with", "at", "by"]
 WINNOW_WINDOW = 4  # winnowing window (in grams)
 
 
-def text_stats(docs: DataFrame) -> DataFrame:
-    """(doc_id, n_chars, n_tokens, n_ws_tokens, n_bpe_pieces, n_types,
-    ttr, avg_token_len, punct_ratio, stopword_ratio, quality_score)
-
-    - ``n_tokens``: ``\\w+`` word count; ``n_ws_tokens``: whitespace-run
-      count; ``n_bpe_pieces``: a BPE-pre-tokenizer-like segmentation
-      (letter runs | digit runs | single punctuation marks).
-    - ``ttr``: type/token ratio; ``punct_ratio``: non-word, non-space
-      chars per char; ``stopword_ratio``: EN stopword share.
-    - ``quality_score``: frozen heuristic blend in [0, 1] —
-      0.4*stopword_presence + 0.3*length_term + 0.3*ttr_band.
-    All ratios rounded to 6dp (cross-engine float stability).
-    """
+def quality_parts():
+    """(w, n_tokens, n_types, ttr, stop_ratio, quality) — the frozen
+    quality blend and the sub-expressions it is built from, over
+    ``words_col("text")``. The SINGLE definition shared by
+    :func:`text_stats` and :func:`quality_quantiles` (its SQL mirror is
+    ``_SQL_QUALITY``, likewise shared by both oracles) so the 'frozen'
+    heuristic literally cannot drift between gates."""
     w = words_col("text")
-    lower = F.lower(F.col("text"))
     n_tokens = F.size(w)
-    n_chars = F.length("text")
     n_types = F.size(F.array_distinct(w))
-    sum_len = F.aggregate(
-        F.transform(w, lambda t: F.length(t)), F.lit(0), lambda a, x: a + x
-    )
-    n_punct = F.size(F.regexp_extract_all(F.col("text"), F.lit(r"[^\w\s]"), 0))
     n_stop = F.size(
         F.filter(w, lambda t: t.isin(*[F.lit(s) for s in STOPWORDS_EN]))
     )
@@ -76,6 +64,30 @@ def text_stats(docs: DataFrame) -> DataFrame:
         + F.lit(0.3) * F.least(n_tokens / F.lit(200.0), F.lit(1.0))
         + F.lit(0.3) * ttr
     )
+    return w, n_tokens, n_types, ttr, stop_ratio, quality
+
+
+def text_stats(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_chars, n_tokens, n_ws_tokens, n_bpe_pieces, n_types,
+    ttr, avg_token_len, punct_ratio, stopword_ratio, quality_score)
+
+    - ``n_tokens``: ``\\w+`` word count; ``n_ws_tokens``: whitespace-run
+      count; ``n_bpe_pieces``: a BPE-pre-tokenizer-like segmentation
+      (letter runs | digit runs | single punctuation marks).
+    - ``ttr``: type/token ratio; ``punct_ratio``: non-word, non-space
+      chars per char; ``stopword_ratio``: EN stopword share.
+    - ``quality_score``: frozen heuristic blend in [0, 1] —
+      0.4*stopword_presence + 0.3*length_term + 0.3*ttr_band
+      (single definition: :func:`quality_parts`).
+    All ratios rounded to 6dp (cross-engine float stability).
+    """
+    w, n_tokens, n_types, ttr, stop_ratio, quality = quality_parts()
+    lower = F.lower(F.col("text"))
+    n_chars = F.length("text")
+    sum_len = F.aggregate(
+        F.transform(w, lambda t: F.length(t)), F.lit(0), lambda a, x: a + x
+    )
+    n_punct = F.size(F.regexp_extract_all(F.col("text"), F.lit(r"[^\w\s]"), 0))
     return docs.select(
         F.col("doc_id").cast("long").alias("doc_id"),
         n_chars.cast("long").alias("n_chars"),
@@ -294,6 +306,16 @@ def repetition_stats(docs: DataFrame) -> DataFrame:
 
 _STOP_LIST = ", ".join(f"'{s}'" for s in STOPWORDS_EN)
 
+# SQL mirror of quality_parts()'s blend over a CTE exposing w — the one
+# definition both SQL_TEXT_STATS and SQL_QUALITY_QUANTILES embed.
+_SQL_QUALITY = rf"""round(
+    0.4::DOUBLE * least(round(len(list_filter(w, t -> t IN ({_STOP_LIST})))
+        / greatest(len(w), 1)::DOUBLE + 1e-9, 6) * 4.0::DOUBLE, 1.0::DOUBLE)
+    + 0.3::DOUBLE * least(len(w) / 200.0::DOUBLE, 1.0::DOUBLE)
+    + 0.3::DOUBLE * round(len(list_distinct(w))
+        / greatest(len(w), 1)::DOUBLE + 1e-9, 6)
+    + 1e-9, 6)"""
+
 SQL_TEXT_STATS = rf"""
 WITH base AS (
     SELECT doc_id::BIGINT AS doc_id, text,
@@ -316,12 +338,7 @@ SELECT doc_id,
              / greatest(n_chars, 1)::DOUBLE + 1e-9, 6) AS punct_ratio,
        round(len(list_filter(w, t -> t IN ({_STOP_LIST})))
              / greatest(len(w), 1)::DOUBLE + 1e-9, 6) AS stopword_ratio,
-       round(0.4::DOUBLE * least(round(len(list_filter(w, t -> t IN ({_STOP_LIST})))
-                               / greatest(len(w), 1)::DOUBLE + 1e-9, 6) * 4.0::DOUBLE, 1.0::DOUBLE)
-             + 0.3::DOUBLE * least(len(w) / 200.0::DOUBLE, 1.0::DOUBLE)
-             + 0.3::DOUBLE * round(len(list_distinct(w)) / greatest(len(w), 1)::DOUBLE + 1e-9, 6)
-             + 1e-9,
-             6) AS quality_score
+       {_SQL_QUALITY} AS quality_score
 FROM base
 """
 
@@ -448,23 +465,12 @@ def quality_quantiles(docs: DataFrame) -> DataFrame:
 
     Semantics: quantile q = the lower edge of the first bin whose
     cumulative count reaches ``ceil(q * n)`` (type-1/inverse-CDF on the
-    binned distribution). The quality expression reproduces
+    binned distribution; the rank is computed as ``ceil(q*n - 1e-9)``
+    so IEEE slop on 0.9*n can't bump an integral rank up by one). The quality expression reproduces
     :func:`text_stats`'s frozen blend operation-for-operation (same
     round6/epsilon discipline), so both engines bin identically.
     """
-    w = words_col("text")
-    n_tokens = F.size(w)
-    n_types = F.size(F.array_distinct(w))
-    n_stop = F.size(
-        F.filter(w, lambda t: t.isin(*[F.lit(s) for s in STOPWORDS_EN]))
-    )
-    ttr = round6_col(n_types / F.greatest(n_tokens, F.lit(1)))
-    stop_ratio = round6_col(n_stop / F.greatest(n_tokens, F.lit(1)))
-    quality = round6_col(
-        F.lit(0.4) * F.least(stop_ratio * 4.0, F.lit(1.0))
-        + F.lit(0.3) * F.least(n_tokens / F.lit(200.0), F.lit(1.0))
-        + F.lit(0.3) * ttr
-    )
+    *_, quality = quality_parts()
     # The quality blend is interpreted higher-order-function work, so
     # its cost is per-row CPU in the SCAN stage. A real corpus scan has
     # one split per ~128 MB and parallelizes for free; the test files
@@ -502,7 +508,13 @@ def quality_quantiles(docs: DataFrame) -> DataFrame:
         hist.select(
             "lang", "bin", "cnt", "cum", "n_docs", F.explode(qs).alias("q")
         )
-        .withColumn("rank", F.ceil(F.col("q") * F.col("n_docs")))
+        # -1e-9 before ceil: 0.9*n is not exact in IEEE (0.9 has no
+        # binary representation), so e.g. 0.9*10 = 9.000000000000002
+        # would ceil to 10 — the MAX instead of the type-1 rank 9. The
+        # epsilon restores ceil's mathematical value for every q*n whose
+        # true value is integral, and never moves a genuinely fractional
+        # rank (gaps are >= 0.1 for these q).
+        .withColumn("rank", F.ceil(F.col("q") * F.col("n_docs") - 1e-9))
         .filter(
             (F.col("cum") >= F.col("rank"))
             & (F.col("cum") - F.col("cnt") < F.col("rank"))
@@ -517,14 +529,6 @@ def quality_quantiles(docs: DataFrame) -> DataFrame:
         )
     )
 
-
-_SQL_QUALITY = rf"""round(
-    0.4::DOUBLE * least(round(len(list_filter(w, t -> t IN ({_STOP_LIST})))
-        / greatest(len(w), 1)::DOUBLE + 1e-9, 6) * 4.0::DOUBLE, 1.0::DOUBLE)
-    + 0.3::DOUBLE * least(len(w) / 200.0::DOUBLE, 1.0::DOUBLE)
-    + 0.3::DOUBLE * round(len(list_distinct(w))
-        / greatest(len(w), 1)::DOUBLE + 1e-9, 6)
-    + 1e-9, 6)"""
 
 SQL_QUALITY_QUANTILES = rf"""
 WITH base AS (
@@ -549,5 +553,5 @@ SELECT lang, q,
        round(bin / {float(QUANTILE_BINS)} + 1e-9, 6) AS quantile_score,
        n_docs
 FROM hist CROSS JOIN q
-WHERE cum >= ceil(q * n_docs) AND cum - cnt < ceil(q * n_docs)
+WHERE cum >= ceil(q * n_docs - 1e-9) AND cum - cnt < ceil(q * n_docs - 1e-9)
 """

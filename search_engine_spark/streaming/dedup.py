@@ -23,7 +23,8 @@ duplicates OUT of the downstream pipeline as they arrive:
   vs its persisted segments — build fast online, reconcile offline).
 
 Content identity matches the batch gate exactly: md5 over
-whitespace-normalized lowercase text (``pipeline/dedup.py:98``), so a
+whitespace-normalized lowercase text (``pipeline.dedup.content_hash_col``
+— the literal same expression object, not a copy), so a
 batch re-run over the survivor stream finds zero duplicates — the
 equivalence contract tested in tests/test_streaming.py.
 """
@@ -33,10 +34,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..pipeline.dedup import content_hash_col
+
 
 def _with_content_hash(docs: DataFrame) -> DataFrame:
-    norm = F.regexp_replace(F.trim(F.lower(F.col("text"))), r"\s+", " ")
-    return docs.withColumn("content_hash", F.md5(norm))
+    # the SAME expression as batch exact_dups — single definition, so
+    # the batch/stream equivalence contract can't silently drift
+    return docs.withColumn("content_hash", content_hash_col())
 
 
 def dedup_stream(docs_stream: DataFrame) -> DataFrame:

@@ -1022,30 +1022,44 @@ def test_kmeans_assign_is_zero_exchange(spark):
         ).alias("x"),
     )
     init = xq.filter(F.col("vec_id") < emb.KMEANS_K).orderBy("vec_id").collect()
-    C0 = np.asarray([[int(c) for c in r.x] for r in init], dtype=np.int64)
+    C0 = np.asarray([[int(c) for c in r.x] for r in init], dtype=np.float64)
     cids = np.asarray([int(r.vec_id) for r in init], dtype=np.int64)
     assigned = xq.mapInPandas(
-        _kmeans_assign_for_test(C0, cids),
+        emb._kmeans_assign_kernel(C0, cids),  # the PRODUCTION kernel
         schema="vec_id long, x array<long>, cluster_id long",
     )
     plan = assigned._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan, plan
 
 
-def _kmeans_assign_for_test(C, cids):
-    import numpy as np
-    import pandas as pd
+def test_kmeans_large_coordinates_stay_oracle_exact(spark):
+    """Distance sums here exceed 2^63 (coords ~1e3 -> scaled diffs ~1e9,
+    squared ~1e18, x64 dims ~6e19): an int64 accumulator would silently
+    wrap in numpy while DuckDB's BIGINT raised — the float64 fold keeps
+    both engines bit-identical. Regression for the overflow bug."""
+    import duckdb as _duckdb
+    import random
 
-    def assign(batches):
-        for pdf in batches:
-            X = np.stack(pdf["x"].to_numpy()).astype(np.int64)
-            dist = np.zeros((len(pdf), len(cids)), dtype=np.int64)
-            for d in range(X.shape[1]):
-                diff = X[:, d, None] - C[None, :, d]
-                dist += diff * diff
-            yield pdf.assign(cluster_id=cids[np.argmin(dist, axis=1)])
+    rng = random.Random(23)
+    rows = [
+        (vid,
+         [rng.uniform(-1000.0, 1000.0) for _ in range(emb.EMB_DIM)],
+         0)
+        for vid in range(60)
+    ]
+    sdf = spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+    srows = sorted(tuple(r) for r in emb.kmeans_clusters(sdf).collect())
 
-    return assign
+    con = _duckdb.connect()
+    con.execute(
+        "CREATE TABLE embeddings(vec_id BIGINT, embedding DOUBLE[], label BIGINT)"
+    )
+    con.executemany("INSERT INTO embeddings VALUES (?, ?, ?)", rows)
+    orows = sorted(
+        tuple(r) for r in con.execute(emb.SQL_KMEANS_CLUSTERS).fetchall()
+    )
+    assert srows == orows
+    assert len({c for _, c, _ in srows}) > 1  # nontrivial clustering
 
 
 def test_quality_quantiles_error_bound_and_oracle(spark):
@@ -1071,7 +1085,7 @@ def test_quality_quantiles_error_bound_and_oracle(spark):
 
     for r in got:
         vals = sorted(by_lang[r.lang])
-        exact = vals[max(0, math.ceil(r.q * len(vals)) - 1)]
+        exact = vals[max(0, math.ceil(r.q * len(vals) - 1e-9) - 1)]
         assert abs(r.quantile_score - exact) <= 1e-4 + 1e-6, (
             r.lang, r.q, r.quantile_score, exact
         )
@@ -1133,6 +1147,11 @@ def test_url_normalize_edge_cases(spark):
         "http://a.com/x?utm_a=1&utm_b=2": "http://a.com/x",
         # a legit param merely ENDING in utm_... must be untouched
         "http://a.com/x?id=1&myutm_x=2": "http://a.com/x?id=1&myutm_x=2",
+        # '&' is a legal PATH character (RFC 3986 sub-delim): never
+        # rewritten, even when the query separately loses a utm param
+        "http://a.com/red&blue": "http://a.com/red&blue",
+        "http://a.com/x&y?id=1": "http://a.com/x&y?id=1",
+        "http://a.com/x&y?utm_a=1&id=2": "http://a.com/x&y?id=2",
         "HTTP://WWW.A.COM:80/x": "http://www.a.com/x",
         "https://a.com:443/x": "https://a.com/x",
         "https://a.com:8443/x": "https://a.com:8443/x",  # non-default kept

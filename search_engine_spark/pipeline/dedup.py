@@ -503,7 +503,9 @@ FROM lab
 
 
 def simhash_signatures(docs: DataFrame) -> DataFrame:
-    """(doc_id, simhash) — 32-bit SimHash over tf-weighted word hashes.
+    """(doc_id, simhash) — ``SIMHASH_BITS``-bit (60) SimHash over
+    tf-weighted word hashes; widened from 32 bits so the 15-bit band
+    values stay cold at scale (see :func:`simhash_pairs`).
 
     bit_b = (sum over distinct terms of tf * sign_b(hash60(term))) > 0,
     sign_b in {-1, +1} from the term hash's bit b.

@@ -369,7 +369,15 @@ SELECT query_id, rank, vec_id, cosine FROM ranked WHERE rank <= {ANN_K}
 
 
 def _sql_plane_literal(p: int) -> str:
-    return "[" + ", ".join(f"{float(s)}" for s in _hyperplanes(p + 1)[p]) + "]"
+    # per-sign generation: the old _hyperplanes(p + 1)[p] form rebuilt
+    # the whole matrix up to p for EVERY plane — O(planes^2 x dim) md5
+    # calls (~0.5 s of import time at 128 planes), paid by every
+    # process that imports this module incl. each Python worker
+    return (
+        "["
+        + ", ".join(f"{float(_plane_sign(p, d))}" for d in range(EMB_DIM))
+        + "]"
+    )
 
 
 def _sql_bits(planes: int) -> str:
@@ -1067,6 +1075,69 @@ def _collect_pq_codebook(n: DataFrame) -> tuple:
     return C, code_ids, V
 
 
+def _pq_decode_scores(V, C, Q):
+    """(len(V) x len(Q)) approximate-score matrix from PQ codes — the
+    ONE decode-then-dot implementation shared by :func:`ann_pq_topk`
+    and :func:`ann_ivfpq_topk`, so the parity-critical fold order,
+    argmin tie rule and 1e-9/6dp rounding can never diverge between
+    the two gates. Per subspace: accumulate (v_d - c_d)^2 in dimension
+    order, round, argmin (first min = dist ASC, code_id ASC); decode to
+    the codeword; then fold the decoded dot over all dims in order and
+    round — each step the oracle's left-assoc SQL, operation for
+    operation."""
+    import numpy as np
+
+    DV = np.empty_like(V)
+    for m in range(PQ_M):
+        Vm = V[:, m * PQ_SUB:(m + 1) * PQ_SUB]
+        dist = np.zeros((len(V), C.shape[1]))
+        for d in range(PQ_SUB):
+            diff = Vm[:, d, None] - C[m, None, :, d]
+            dist += diff * diff
+        codes_m = np.argmin(np.round(dist + 1e-9, 6), axis=1)
+        DV[:, m * PQ_SUB:(m + 1) * PQ_SUB] = C[m][codes_m]
+    acc = np.zeros((len(V), Q.shape[0]))
+    for d in range(EMB_DIM):
+        acc += DV[:, d, None] * Q[None, :, d]
+    return np.round(acc + 1e-9, 6)
+
+
+def _pq_exact_rerank(
+    n: DataFrame, scored: DataFrame, oversample: int
+) -> DataFrame:
+    """Shared tail of the PQ family: per-query candidate cut at
+    ``ANN_K * oversample`` on (approx DESC, vec_id ASC) — WindowGroupLimit
+    partial-limits it map-side — then exact ``_dot``/6dp cosine re-rank
+    against the broadcast full-precision queries."""
+    from pyspark.sql import Window
+
+    wnd = Window.partitionBy("query_id").orderBy(
+        F.desc("approx"), F.asc("vec_id")
+    )
+    cand = (
+        scored.withColumn("crank", F.row_number().over(wnd))
+        .filter(F.col("crank") <= ANN_K * oversample)
+        .select("query_id", "vec_id")
+    )
+    q = n.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"),
+    )
+    exact = (
+        cand.join(n, "vec_id")
+        .join(F.broadcast(q), "query_id")
+        .select(
+            "query_id",
+            "vec_id",
+            _round6(
+                _dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("nrm"))
+            ).alias("cosine"),
+        )
+    )
+    return _ranked_topk(exact)
+
+
 def ann_pq_topk(embs: DataFrame) -> DataFrame:
     """(query_id, rank, vec_id, cosine) — product-quantized ANN: each
     vector compresses to ``PQ_M`` 4-bit codes (one codeword index per
@@ -1121,19 +1192,7 @@ def ann_pq_topk(embs: DataFrame) -> DataFrame:
                 )
                 continue
             V = np.stack(pdf["v"].to_numpy())
-            DV = np.empty_like(V)
-            for m in range(PQ_M):
-                Vm = V[:, m * PQ_SUB:(m + 1) * PQ_SUB]
-                dist = np.zeros((len(pdf), C.shape[1]))
-                for d in range(PQ_SUB):
-                    diff = Vm[:, d, None] - C[m, None, :, d]
-                    dist += diff * diff
-                codes_m = np.argmin(np.round(dist + 1e-9, 6), axis=1)
-                DV[:, m * PQ_SUB:(m + 1) * PQ_SUB] = C[m][codes_m]
-            acc = np.zeros((len(pdf), len(qids)))
-            for d in range(EMB_DIM):
-                acc += DV[:, d, None] * Q[None, :, d]
-            approx = np.round(acc + 1e-9, 6)
+            approx = _pq_decode_scores(V, C, Q)
             vec_ids = pdf["vec_id"].to_numpy(dtype=np.int64)
             yield pd.DataFrame({
                 "query_id": np.repeat(qids, len(pdf)),
@@ -1144,34 +1203,7 @@ def ann_pq_topk(embs: DataFrame) -> DataFrame:
     scored = n.mapInPandas(
         score, schema="query_id long, vec_id long, approx double"
     ).filter(F.col("query_id") != F.col("vec_id"))
-
-    from pyspark.sql import Window
-
-    wnd = Window.partitionBy("query_id").orderBy(
-        F.desc("approx"), F.asc("vec_id")
-    )
-    cand = (
-        scored.withColumn("crank", F.row_number().over(wnd))
-        .filter(F.col("crank") <= ANN_K * PQ_OVERSAMPLE)
-        .select("query_id", "vec_id")
-    )
-    q = n.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("v").alias("qv"),
-        F.col("nrm").alias("qn"),
-    )
-    exact = (
-        cand.join(n, "vec_id")
-        .join(F.broadcast(q), "query_id")
-        .select(
-            "query_id",
-            "vec_id",
-            _round6(
-                _dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("nrm"))
-            ).alias("cosine"),
-        )
-    )
-    return _ranked_topk(exact)
+    return _pq_exact_rerank(n, scored, PQ_OVERSAMPLE)
 
 
 def _sql_pq_subdist(m: int, calias: str = "c") -> str:
@@ -1349,19 +1381,7 @@ def ann_ivfpq_topk(embs: DataFrame) -> DataFrame:
             V = V[usel]
             vec_ids = pdf["vec_id"].to_numpy(dtype=np.int64)[usel]
             cell_ids = cell_ids[usel]
-            DV = np.empty_like(V)
-            for m in range(PQ_M):
-                Vm = V[:, m * PQ_SUB:(m + 1) * PQ_SUB]
-                dist = np.zeros((len(V), C.shape[1]))
-                for d in range(PQ_SUB):
-                    diff = Vm[:, d, None] - C[m, None, :, d]
-                    dist += diff * diff
-                codes_m = np.argmin(np.round(dist + 1e-9, 6), axis=1)
-                DV[:, m * PQ_SUB:(m + 1) * PQ_SUB] = C[m][codes_m]
-            acc = np.zeros((len(V), len(qids)))
-            for d in range(EMB_DIM):
-                acc += DV[:, d, None] * Q[None, :, d]
-            approx = np.round(acc + 1e-9, 6)
+            approx = _pq_decode_scores(V, C, Q)
             frames = []
             for qi, qid in enumerate(qids):
                 probed = np.asarray(sorted(cells_by_q[int(qid)]))
@@ -1382,34 +1402,7 @@ def ann_ivfpq_topk(embs: DataFrame) -> DataFrame:
     scored = n.mapInPandas(
         score, schema="query_id long, vec_id long, approx double"
     ).filter(F.col("query_id") != F.col("vec_id"))
-
-    from pyspark.sql import Window
-
-    wnd = Window.partitionBy("query_id").orderBy(
-        F.desc("approx"), F.asc("vec_id")
-    )
-    cand = (
-        scored.withColumn("crank", F.row_number().over(wnd))
-        .filter(F.col("crank") <= ANN_K * IVFPQ_OVERSAMPLE)
-        .select("query_id", "vec_id")
-    )
-    q = n.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("v").alias("qv"),
-        F.col("nrm").alias("qn"),
-    )
-    exact = (
-        cand.join(n, "vec_id")
-        .join(F.broadcast(q), "query_id")
-        .select(
-            "query_id",
-            "vec_id",
-            _round6(
-                _dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("nrm"))
-            ).alias("cosine"),
-        )
-    )
-    return _ranked_topk(exact)
+    return _pq_exact_rerank(n, scored, IVFPQ_OVERSAMPLE)
 
 
 SQL_ANN_IVFPQ_TOPK = rf"""

@@ -315,6 +315,10 @@ def compact_generations(
     epoch = 1 + max(k[1] for k in keys)
     dest = Path(out_dir) / f"gen={max_id}.c{epoch}"
     tmp = Path(out_dir) / f".compact-{max_id}-{epoch}-tmp"
+    if tmp.exists():  # crashed prior attempt at this same epoch
+        import shutil
+
+        shutil.rmtree(tmp, ignore_errors=True)
     build_segments_from_postings(
         spark, union, str(tmp), n_buckets=n_buckets,
         run_id=f"compact-{max_id}-{epoch}", pfor=pfor,
@@ -343,16 +347,28 @@ def expire_generations(out_dir: str) -> list[str]:
         return []
     removed = []
     # global-stats sidecars: keep only the newest complete one; drop
-    # older epochs and abandoned merge temp dirs (safe after draining,
-    # same contract as generation expiry below)
+    # older epochs and ABANDONED merge temp dirs. A tmp whose epoch is
+    # NEWER than the latest complete sidecar may be an in-flight
+    # merge_generation_stats (the live streaming foreachBatch runs the
+    # merge concurrently with operator-invoked compaction) — deleting
+    # it mid-write would kill the StreamingQuery, so only tmp epochs a
+    # later COMPLETED merge has superseded are swept; a crashed merge's
+    # tmp survives until then (the next merge reuses its epoch with
+    # mode=overwrite, so it never wedges).
     latest, _ = latest_global_stats(out_dir)
+    latest_epoch = (
+        int(Path(latest).name.split("=", 1)[1]) if latest else 0
+    )
     for d in base.glob(f"{GLOBAL_STATS_PREFIX}*"):
         if latest is None or d.name != Path(latest).name:
             shutil.rmtree(d, ignore_errors=True)
             removed.append(str(d))
     for d in base.glob(".globalstats-*-tmp"):
-        shutil.rmtree(d, ignore_errors=True)
-        removed.append(str(d))
+        parts = d.name.split("-")
+        tmp_epoch = int(parts[1]) if parts[1].isdigit() else 0
+        if tmp_epoch <= latest_epoch:
+            shutil.rmtree(d, ignore_errors=True)
+            removed.append(str(d))
     manifest = _read_manifest(out_dir)
     if manifest is None:
         return removed
@@ -365,9 +381,19 @@ def expire_generations(out_dir: str) -> list[str]:
         if d.name not in active and _gen_key(d.name)[0] <= covers:
             shutil.rmtree(d, ignore_errors=True)
             removed.append(str(d))
+    # same in-flight guard for compaction temps: only sweep a tmp whose
+    # compaction epoch a COMPLETED (manifest-visible) compaction has
+    # superseded — a concurrent compact_generations' build dir has a
+    # strictly newer epoch and must survive
+    active_epoch = max(
+        (_gen_key(name)[1] for name in active), default=0
+    )
     for d in base.glob(".compact-*-tmp"):
-        shutil.rmtree(d, ignore_errors=True)
-        removed.append(str(d))
+        parts = d.name.split("-")
+        tmp_epoch = int(parts[2]) if len(parts) > 2 and parts[2].isdigit() else 0
+        if tmp_epoch <= active_epoch:
+            shutil.rmtree(d, ignore_errors=True)
+            removed.append(str(d))
     return removed
 
 

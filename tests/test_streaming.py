@@ -262,6 +262,20 @@ def test_global_stats_sidecar_equals_compaction_scores(spark, tmp_path):
     removed = expire_generations(str(out))
     assert sidecar in removed and sidecar2 not in removed
 
+    # writer-writer race guard: a merge temp dir with a NEWER epoch
+    # than the latest complete sidecar may be an in-flight
+    # merge_generation_stats from the live stream — expire must NOT
+    # delete it; a superseded (older-epoch) temp is swept
+    latest_epoch = int(Path(sidecar2).name.split("=", 1)[1])
+    inflight = out / f".globalstats-{latest_epoch + 1}-tmp"
+    stale = out / f".globalstats-{latest_epoch}-tmp"
+    inflight.mkdir()
+    stale.mkdir()
+    expire_generations(str(out))
+    assert inflight.exists(), "in-flight merge temp must survive expiry"
+    assert not stale.exists(), "superseded merge temp must be swept"
+    inflight.rmdir()
+
 
 def test_preview_results(spark):
     """Result preview: first-5-lines display joined from the corpus

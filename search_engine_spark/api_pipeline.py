@@ -133,6 +133,13 @@ def q_ngram_jaccard_pairs(spark, sf_dir):
     return dedup.ngram_jaccard_pairs(_docs(spark, sf_dir))
 
 
+def q_line_dedup(spark, sf_dir):
+    """CCNet-style line-level boilerplate removal: lines shared by many
+    docs of one source (navs/footers) dropped; bounded hash aggregates
+    + a broadcast exclusion join, no window over the corpus."""
+    return dedup.line_dedup_gate(_docs(spark, sf_dir))
+
+
 def q_dedup_groups(spark, sf_dir):
     """Near-dup clusters: connected components of the MinHash-LSH pair
     graph (iterative hash-min label propagation + pointer jumping)."""
@@ -536,6 +543,7 @@ PIPELINE_QUERIES: dict = {
     "simhash_pairs": q_simhash_pairs,
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     "dedup_groups": q_dedup_groups,
+    "line_dedup": q_line_dedup,
     "cosine_neardup_lsh": q_cosine_neardup_lsh,
     "ann_brute_topk": q_ann_brute_topk,
     "ann_lsh_topk": q_ann_lsh_topk,
@@ -577,6 +585,7 @@ PIPELINE_ORACLES: dict = {
     "simhash_pairs": dedup.SQL_SIMHASH_PAIRS,
     "ngram_jaccard_pairs": dedup.SQL_NGRAM_JACCARD_PAIRS,
     "dedup_groups": dedup.SQL_DEDUP_GROUPS,
+    "line_dedup": dedup.SQL_LINE_DEDUP,
     "cosine_neardup_lsh": embeddings.SQL_COSINE_NEARDUP_LSH_PAIRS,
     "ann_brute_topk": embeddings.SQL_ANN_BRUTE_TOPK,
     "ann_lsh_topk": embeddings.SQL_ANN_LSH_TOPK,

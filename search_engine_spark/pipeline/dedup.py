@@ -742,3 +742,159 @@ JOIN sizes sa ON inter.doc_id_a = sa.doc_id
 JOIN sizes sb ON inter.doc_id_b = sb.doc_id
 WHERE round(n_common / (sa.n_sh + sb.n_sh - n_common)::DOUBLE + 1e-9, 6) >= {JACCARD_MIN}
 """
+
+
+# --- line-level boilerplate dedup (CCNet-style) -----------------------------
+
+LINE_WORDS = 8            # synthetic line width (words) for the gate corpus
+LINE_DUP_MIN_DOCS = 10    # a line in >= this many docs of one source is
+                          # boilerplate (nav/footer/copyright) and dropped
+
+
+def synth_multiline_docs(docs: DataFrame) -> DataFrame:
+    """(doc_id, source, lines array<string>) — deterministic multi-line
+    reshaping of the documents corpus: the text is re-wrapped into
+    ``LINE_WORDS``-word lines and every doc gains its source's two
+    boilerplate lines (a copyright footer and a nav header) — the
+    planted duplicates :func:`line_dedup` must remove. In-query
+    synthesis, mirrored verbatim in the oracle SQL (the driver corpus
+    is single-line word soup with no real boilerplate)."""
+    w = words_col("text")
+    n_lines = F.ceil(F.size(w) / F.lit(LINE_WORDS)).cast("int")
+    content = F.transform(
+        F.sequence(F.lit(0), F.greatest(n_lines, F.lit(1)) - 1),
+        lambda i: F.array_join(
+            F.slice(w, i * LINE_WORDS + 1, LINE_WORDS), " "
+        ),
+    )
+    header = F.concat(F.lit("home | about | "), F.col("source"))
+    footer = F.concat(F.lit("(c) "), F.col("source"),
+                      F.lit(" all rights reserved"))
+    return docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("source"),
+        F.concat(F.array(header), content, F.array(footer)).alias("lines"),
+    )
+
+
+def line_dedup(
+    docs_lines: DataFrame, min_docs: int = LINE_DUP_MIN_DOCS
+) -> DataFrame:
+    """(doc_id, n_lines, n_kept, n_dropped, clean_hash) — remove lines
+    that appear in >= ``min_docs`` DISTINCT documents of the same
+    source (the CCNet/RefinedWeb boilerplate pass: navs, footers,
+    cookie banners repeat across a site's pages; genuine content
+    doesn't). ``clean_hash`` is md5 over the kept lines joined with
+    newline in original order, so the gate hashes the rebuilt text
+    without shipping it to the driver.
+
+    Scale shape (100 TB): lines explode once; the boilerplate-line
+    detection is groupBy (source, line_hash) over DISTINCT
+    (source, line_hash, doc_id) — both hash aggregates with map-side
+    partials, keys bounded by distinct lines, never all-pairs. The dup
+    set (lines over threshold) is tiny — boilerplate by definition —
+    so the exclusion join broadcasts under AQE; reassembly is ONE
+    Exchange keyed by doc_id carrying only kept lines. No Python, no
+    window over the corpus.
+    """
+    lines = docs_lines.select(
+        "doc_id",
+        "source",
+        F.posexplode(F.col("lines")).alias("pos", "line"),
+    ).withColumn("lh", hash60_col(F.col("line")))
+    dup = (
+        lines.select("source", "lh", "doc_id")
+        .distinct()
+        .groupBy("source", "lh")
+        .agg(F.count(F.lit(1)).alias("ndocs"))
+        .filter(F.col("ndocs") >= min_docs)
+        .select("source", "lh")
+    )
+    marked = lines.join(F.broadcast(dup).withColumn("is_dup", F.lit(True)),
+                        ["source", "lh"], "left")
+    kept = F.filter(
+        F.array_sort(
+            F.collect_list(
+                F.when(
+                    ~F.coalesce(F.col("is_dup"), F.lit(False)),
+                    F.struct(F.col("pos"), F.col("line")),
+                )
+            )
+        ),
+        lambda s: s.isNotNull(),
+    )
+    return (
+        marked.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+            kept.alias("kept"),
+        )
+        .select(
+            "doc_id",
+            "n_lines",
+            F.size("kept").cast("long").alias("n_kept"),
+            (F.col("n_lines") - F.size("kept")).cast("long").alias("n_dropped"),
+            F.md5(
+                F.encode(
+                    F.array_join(
+                        F.transform(F.col("kept"), lambda s: s.getField("line")),
+                        "\n",
+                    ),
+                    "utf-8",
+                )
+            ).alias("clean_hash"),
+        )
+    )
+
+
+def line_dedup_gate(docs: DataFrame) -> DataFrame:
+    """The driver gate: synthesis + dedup composed."""
+    return line_dedup(synth_multiline_docs(docs))
+
+
+SQL_LINE_DEDUP = rf"""
+WITH base AS (
+    SELECT doc_id::BIGINT AS doc_id, source, {sql_words('text')} AS w
+    FROM documents
+),
+shaped AS (
+    SELECT doc_id, source,
+           ['home | about | ' || source]
+           || list_transform(
+                  range(0, greatest(CAST(ceil(len(w) / {LINE_WORDS}.0) AS INTEGER), 1)),
+                  i -> array_to_string(
+                      list_slice(w, i * {LINE_WORDS} + 1, (i + 1) * {LINE_WORDS}), ' ')
+              )
+           || ['(c) ' || source || ' all rights reserved'] AS lines
+    FROM base
+),
+lines AS (
+    SELECT doc_id, source, u.s.pos AS pos, u.s.line AS line,
+           {sql_hash60('u.s.line')} AS lh
+    FROM shaped,
+         unnest(list_transform(
+             range(0, len(lines)),
+             i -> {{'pos': i, 'line': lines[i + 1]}}
+         )) AS u(s)
+),
+dup AS (
+    SELECT source, lh
+    FROM (SELECT DISTINCT source, lh, doc_id FROM lines)
+    GROUP BY source, lh
+    HAVING count(*) >= {LINE_DUP_MIN_DOCS}
+),
+marked AS (
+    SELECT l.doc_id, l.pos, l.line,
+           (d.lh IS NOT NULL) AS is_dup
+    FROM lines l LEFT JOIN dup d
+      ON l.source = d.source AND l.lh = d.lh
+)
+SELECT doc_id,
+       count(*)::BIGINT AS n_lines,
+       count(*) FILTER (WHERE NOT is_dup)::BIGINT AS n_kept,
+       count(*) FILTER (WHERE is_dup)::BIGINT AS n_dropped,
+       md5(coalesce(string_agg(line, chr(10) ORDER BY pos)
+                    FILTER (WHERE NOT is_dup), '')) AS clean_hash
+FROM marked
+GROUP BY doc_id
+"""

@@ -1170,3 +1170,35 @@ def test_url_normalize_edge_cases(spark):
         normed.select(F.col("url_norm").alias("url"))
     )
     assert twice.filter(F.col("url") != F.col("url_norm")).count() == 0
+
+
+def test_line_dedup_drops_planted_boilerplate_only(spark):
+    """A source with >= LINE_DUP_MIN_DOCS docs loses exactly its two
+    planted boilerplate lines (header + footer) per doc; a small source
+    (below threshold) keeps everything; content lines survive."""
+    import hashlib
+
+    from search_engine_spark.pipeline import dedup
+
+    rows = []
+    # big source: 12 docs (>= threshold 10) with unique 16-word bodies
+    for i in range(12):
+        rows.append((i, " ".join(f"u{i}w{j}" for j in range(16)), "en", "big", 0))
+    # small source: 3 docs — its boilerplate stays
+    for i in range(12, 15):
+        rows.append((i, " ".join(f"s{i}w{j}" for j in range(16)), "en", "small", 0))
+    docs = spark.createDataFrame(
+        rows, ["doc_id", "text", "lang", "source", "n_chars"]
+    )
+    got = {r.doc_id: r for r in dedup.line_dedup_gate(docs).collect()}
+
+    for i in range(12):
+        r = got[i]
+        # 1 header + 2 content lines (16 words / 8) + 1 footer
+        assert r.n_lines == 4 and r.n_dropped == 2 and r.n_kept == 2, r
+        words = [f"u{i}w{j}" for j in range(16)]
+        clean = " ".join(words[:8]) + "\n" + " ".join(words[8:])
+        assert r.clean_hash == hashlib.md5(clean.encode()).hexdigest(), i
+    for i in range(12, 15):
+        r = got[i]
+        assert r.n_lines == 4 and r.n_dropped == 0 and r.n_kept == 4, r

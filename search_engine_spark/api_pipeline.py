@@ -227,6 +227,13 @@ def q_dataset_splits(spark, sf_dir):
     return curation.dataset_splits(_docs(spark, sf_dir))
 
 
+def q_sequence_pack(spark, sf_dir):
+    """Concat-and-chunk sequence packing (global token offsets via a
+    distributed prefix-sum: range partition + broadcast offsets, not a
+    single-task global window)."""
+    return curation.sequence_pack(_docs(spark, sf_dir))
+
+
 def q_stratified_sample(spark, sf_dir):
     """Deterministic per-source subsampling (zero-shuffle hash coin)."""
     return curation.stratified_sample(_docs(spark, sf_dir))
@@ -523,6 +530,7 @@ PIPELINE_QUERIES: dict = {
     "contamination": q_contamination,
     "curation_verdict": q_curation_verdict,
     "stratified_sample": q_stratified_sample,
+    "sequence_pack": q_sequence_pack,
     "phrase_topk": q_phrase_topk,
     "text_stats": q_text_stats,
     "lang_id": q_lang_id,
@@ -565,6 +573,7 @@ PIPELINE_ORACLES: dict = {
     "contamination": curation.SQL_CONTAMINATION,
     "curation_verdict": curation.SQL_CURATION_VERDICT,
     "stratified_sample": curation.SQL_STRATIFIED_SAMPLE,
+    "sequence_pack": curation.SQL_SEQUENCE_PACK,
     "phrase_topk": _SQL_PHRASE_TOPK,
     "text_stats": textstats.SQL_TEXT_STATS,
     "lang_id": textstats.SQL_LANG_ID,

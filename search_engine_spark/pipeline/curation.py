@@ -292,3 +292,110 @@ FROM (
     FROM documents
 )
 """
+
+
+# --- sequence packing (concat-and-chunk) ------------------------------------
+
+SEQ_LEN = 2048  # tokens per packed training sequence
+
+
+def sequence_pack(docs: DataFrame, seq_len: int = SEQ_LEN) -> DataFrame:
+    """(doc_id, n_tokens, seq_id, offset_in_seq, n_seqs_spanned) — the
+    concat-and-chunk packing every LLM pretraining export runs: the
+    corpus is one token stream in ``doc_id`` order, cut into
+    ``seq_len``-token training sequences; each document lands at a
+    global token offset, i.e. sequence ``offset // seq_len`` at
+    position ``offset % seq_len``, spanning one or more sequences.
+
+    Semantics (the oracle's declarative spec): a running sum of
+    ``n_tokens`` over ``ORDER BY doc_id``. The Spark plan does NOT use
+    that global-order window — a single unbounded window serializes
+    the whole corpus through one task — but the classic **distributed
+    prefix-sum**: range-partition by doc_id (so partition order ==
+    doc_id order), collect the per-partition token subtotals (one tiny
+    job, n_partitions rows), broadcast the exclusive partition offsets
+    back, and let each partition compute its local cumulative sum in
+    one Arrow pass. Two corpus scans, zero corpus-sized shuffle beyond
+    the range partitioning; 10^9 docs cost the same two scans.
+
+    All arithmetic is exact integers (token counts, offsets), so the
+    gate hashes; the div/mod pair is floor(double)-based identically in
+    both engines (values << 2^53).
+    """
+    import pandas as pd
+
+    counts = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.size(words_col("text")).cast("long").alias("n_tokens"),
+    )
+    nparts = max(2, docs.sparkSession.sparkContext.defaultParallelism)
+    ranged = (
+        counts.repartitionByRange(nparts, "doc_id")
+        .sortWithinPartitions("doc_id")
+        .withColumn("pid", F.spark_partition_id())
+    )
+    ranged = ranged.localCheckpoint(eager=True)  # pin the partitioning so
+    # the subtotal job and the offset pass see identical partitions
+    subtotals = {
+        int(r.pid): int(r.s)
+        for r in ranged.groupBy("pid").agg(F.sum("n_tokens").alias("s")).collect()
+    }
+    offsets = {}
+    acc = 0
+    for pid in sorted(subtotals):
+        offsets[pid] = acc
+        acc += subtotals[pid]
+
+    def pack(batches):
+        local = None
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            if local is None:
+                local = offsets.get(int(pdf["pid"].iloc[0]), 0)
+            starts = pdf["n_tokens"].cumsum() - pdf["n_tokens"] + local
+            local += int(pdf["n_tokens"].sum())
+            seq_id = starts // seq_len
+            ends = starts + pdf["n_tokens"]
+            spanned = ((ends - 1) // seq_len - seq_id + 1).where(
+                pdf["n_tokens"] > 0, 0
+            )
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "n_tokens": pdf["n_tokens"],
+                "seq_id": seq_id.astype("int64"),
+                "offset_in_seq": (starts % seq_len).astype("int64"),
+                "n_seqs_spanned": spanned.astype("int64"),
+            })
+
+    return ranged.mapInPandas(
+        pack,
+        schema=(
+            "doc_id long, n_tokens long, seq_id long, "
+            "offset_in_seq long, n_seqs_spanned long"
+        ),
+    )
+
+
+SQL_SEQUENCE_PACK = f"""
+WITH counts AS (
+    SELECT doc_id::BIGINT AS doc_id,
+           len({sql_words('text')})::BIGINT AS n_tokens
+    FROM documents
+),
+offs AS (
+    SELECT doc_id, n_tokens,
+           (sum(n_tokens) OVER (ORDER BY doc_id
+                                ROWS UNBOUNDED PRECEDING)
+            - n_tokens)::BIGINT AS start
+    FROM counts
+)
+SELECT doc_id, n_tokens,
+       (start // {SEQ_LEN})::BIGINT AS seq_id,
+       (start % {SEQ_LEN})::BIGINT AS offset_in_seq,
+       CASE WHEN n_tokens = 0 THEN 0
+            ELSE ((start + n_tokens - 1) // {SEQ_LEN})
+                 - (start // {SEQ_LEN}) + 1
+       END::BIGINT AS n_seqs_spanned
+FROM offs
+"""

@@ -1202,3 +1202,43 @@ def test_line_dedup_drops_planted_boilerplate_only(spark):
     for i in range(12, 15):
         r = got[i]
         assert r.n_lines == 4 and r.n_dropped == 0 and r.n_kept == 4, r
+
+
+def test_sequence_pack_hand_computed_and_no_global_window(spark):
+    """Planted token counts with hand-computed chunk offsets (seq_len
+    2048), incl. a 0-token doc and a multi-sequence spanner; and the
+    plan must contain NO Window operator — the global running sum is
+    realized as range-partition + broadcast-offset prefix-sum, never a
+    single-task unbounded window."""
+    from search_engine_spark.pipeline import curation
+
+    sizes = {0: 100, 1: 2000, 2: 5000, 3: 0, 4: 48}
+    rows = [
+        (i, " ".join(f"w{j}" for j in range(n)), "en", "s", 0)
+        for i, n in sizes.items()
+    ]
+    docs = spark.createDataFrame(
+        rows, ["doc_id", "text", "lang", "source", "n_chars"]
+    )
+    out = curation.sequence_pack(docs)
+    got = {r.doc_id: r for r in out.collect()}
+
+    # offsets: 0, 100, 2100, 7100, 7100
+    exp = {
+        0: (100, 0, 0, 1),
+        1: (2000, 0, 100, 2),      # 100..2099 spans seqs 0-1
+        2: (5000, 1, 52, 3),       # 2100..7099 spans seqs 1-3
+        3: (0, 3, 956, 0),         # empty doc: spans nothing
+        4: (48, 3, 956, 1),
+    }
+    for i, (nt, sid, off, spans) in exp.items():
+        r = got[i]
+        assert (r.n_tokens, r.seq_id, r.offset_in_seq, r.n_seqs_spanned) == (
+            nt, sid, off, spans
+        ), (i, r)
+
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # the range Exchange lives upstream of the localCheckpoint (the
+    # final plan scans the checkpointed RDD); the assertion that
+    # matters is that NO global-order Window ever appears
+    assert "Window" not in plan, plan

@@ -299,6 +299,24 @@ FROM (
 SEQ_LEN = 2048  # tokens per packed training sequence
 
 
+def _sequence_pack_ranged(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_tokens, pid) range-partitioned and sorted by doc_id —
+    the pre-checkpoint lineage of :func:`sequence_pack`, factored so
+    tests can assert the plan shape of the PRODUCTION prefix (the
+    checkpoint hides it from the final plan): no Window anywhere, one
+    range Exchange."""
+    counts = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.size(words_col("text")).cast("long").alias("n_tokens"),
+    )
+    nparts = max(2, docs.sparkSession.sparkContext.defaultParallelism)
+    return (
+        counts.repartitionByRange(nparts, "doc_id")
+        .sortWithinPartitions("doc_id")
+        .withColumn("pid", F.spark_partition_id())
+    )
+
+
 def sequence_pack(docs: DataFrame, seq_len: int = SEQ_LEN) -> DataFrame:
     """(doc_id, n_tokens, seq_id, offset_in_seq, n_seqs_spanned) — the
     concat-and-chunk packing every LLM pretraining export runs: the
@@ -324,16 +342,7 @@ def sequence_pack(docs: DataFrame, seq_len: int = SEQ_LEN) -> DataFrame:
     """
     import pandas as pd
 
-    counts = docs.select(
-        F.col("doc_id").cast("long").alias("doc_id"),
-        F.size(words_col("text")).cast("long").alias("n_tokens"),
-    )
-    nparts = max(2, docs.sparkSession.sparkContext.defaultParallelism)
-    ranged = (
-        counts.repartitionByRange(nparts, "doc_id")
-        .sortWithinPartitions("doc_id")
-        .withColumn("pid", F.spark_partition_id())
-    )
+    ranged = _sequence_pack_ranged(docs)
     ranged = ranged.localCheckpoint(eager=True)  # pin the partitioning so
     # the subtotal job and the offset pass see identical partitions
     subtotals = {
@@ -352,7 +361,10 @@ def sequence_pack(docs: DataFrame, seq_len: int = SEQ_LEN) -> DataFrame:
             if len(pdf) == 0:
                 continue
             if local is None:
-                local = offsets.get(int(pdf["pid"].iloc[0]), 0)
+                # fail LOUDLY if the pinned-partitioning invariant ever
+                # breaks (a silent 0 would corrupt every offset in the
+                # partition instead of raising)
+                local = offsets[int(pdf["pid"].iloc[0])]
             starts = pdf["n_tokens"].cumsum() - pdf["n_tokens"] + local
             local += int(pdf["n_tokens"].sum())
             seq_id = starts // seq_len

@@ -802,6 +802,11 @@ def line_dedup(
         "source",
         F.posexplode(F.col("lines")).alias("pos", "line"),
     ).withColumn("lh", hash60_col(F.col("line")))
+    # materialize ONCE: the relation feeds both the dup-detection
+    # aggregate and the probe side of the exclusion join — without the
+    # checkpoint the synthesis + tokenization + explode would run twice
+    # (same pattern as connected_components' edge materialization)
+    lines = lines.localCheckpoint(eager=True)
     dup = (
         lines.select("source", "lh", "doc_id")
         .distinct()
@@ -812,16 +817,15 @@ def line_dedup(
     )
     marked = lines.join(F.broadcast(dup).withColumn("is_dup", F.lit(True)),
                         ["source", "lh"], "left")
-    kept = F.filter(
-        F.array_sort(
-            F.collect_list(
-                F.when(
-                    ~F.coalesce(F.col("is_dup"), F.lit(False)),
-                    F.struct(F.col("pos"), F.col("line")),
-                )
+    # collect_list skips the NULLs the when() yields for dup lines, so
+    # the array holds exactly the kept (pos, line) structs
+    kept = F.array_sort(
+        F.collect_list(
+            F.when(
+                ~F.coalesce(F.col("is_dup"), F.lit(False)),
+                F.struct(F.col("pos"), F.col("line")),
             )
-        ),
-        lambda s: s.isNotNull(),
+        )
     )
     return (
         marked.groupBy("doc_id")

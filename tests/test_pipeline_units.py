@@ -1237,8 +1237,17 @@ def test_sequence_pack_hand_computed_and_no_global_window(spark):
             nt, sid, off, spans
         ), (i, r)
 
-    plan = out._jdf.queryExecution().executedPlan().toString()
-    # the range Exchange lives upstream of the localCheckpoint (the
-    # final plan scans the checkpointed RDD); the assertion that
-    # matters is that NO global-order Window ever appears
-    assert "Window" not in plan, plan
+    # the final plan scans the checkpointed RDD, which would HIDE a
+    # Window smuggled in upstream — so assert on the PRODUCTION
+    # pre-checkpoint lineage (the factored _sequence_pack_ranged prefix
+    # sequence_pack itself consumes): range Exchange, no Window
+    pre = (
+        curation._sequence_pack_ranged(docs)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Window" not in pre, pre
+    assert "rangepartitioning" in pre.lower(), pre
+    post = out._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in post, post

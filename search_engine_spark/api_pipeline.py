@@ -140,6 +140,13 @@ def q_line_dedup(spark, sf_dir):
     return dedup.line_dedup_gate(_docs(spark, sf_dir))
 
 
+def q_dup_spans(spark, sf_dir):
+    """Duplicated-span detection (exact-substring dedup approximation,
+    Lee et al. 2022): sliding token-window hashes, cross-doc df, per-doc
+    duplicated-material report. Planted-quote synthesis in-query."""
+    return dedup.dup_spans_gate(_docs(spark, sf_dir))
+
+
 def q_dedup_groups(spark, sf_dir):
     """Near-dup clusters: connected components of the MinHash-LSH pair
     graph (iterative hash-min label propagation + pointer jumping)."""
@@ -552,6 +559,7 @@ PIPELINE_QUERIES: dict = {
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     "dedup_groups": q_dedup_groups,
     "line_dedup": q_line_dedup,
+    "dup_spans": q_dup_spans,
     "cosine_neardup_lsh": q_cosine_neardup_lsh,
     "ann_brute_topk": q_ann_brute_topk,
     "ann_lsh_topk": q_ann_lsh_topk,
@@ -595,6 +603,7 @@ PIPELINE_ORACLES: dict = {
     "ngram_jaccard_pairs": dedup.SQL_NGRAM_JACCARD_PAIRS,
     "dedup_groups": dedup.SQL_DEDUP_GROUPS,
     "line_dedup": dedup.SQL_LINE_DEDUP,
+    "dup_spans": dedup.SQL_DUP_SPANS,
     "cosine_neardup_lsh": embeddings.SQL_COSINE_NEARDUP_LSH_PAIRS,
     "ann_brute_topk": embeddings.SQL_ANN_BRUTE_TOPK,
     "ann_lsh_topk": embeddings.SQL_ANN_LSH_TOPK,

@@ -902,3 +902,124 @@ SELECT doc_id,
 FROM marked
 GROUP BY doc_id
 """
+
+
+# --- duplicated-span detection (exact-substring dedup approximation) --------
+
+SPAN_N = 20        # tokens per span window
+SPAN_MIN_DF = 2    # a span in >= this many distinct docs is duplicated
+
+
+def synth_quoted_docs(docs: DataFrame) -> DataFrame:
+    """(doc_id, text) with planted cross-document quotes: every 5th doc
+    gains shared quote A, every 7th shared quote B (25 tokens each, so
+    several overlapping SPAN_N windows match across docs). In-query
+    synthesis mirrored in the oracle — the driver corpus is unique word
+    soup with no natural long shared substrings."""
+    did = F.col("doc_id").cast("long")
+    quote_a = " " + " ".join(f"qa{j}" for j in range(25))
+    quote_b = " " + " ".join(f"qb{j}" for j in range(25))
+    text = F.col("text")
+    text = F.when(did % 5 == 0, F.concat(text, F.lit(quote_a))).otherwise(text)
+    text = F.when(did % 7 == 0, F.concat(text, F.lit(quote_b))).otherwise(text)
+    return docs.select(did.alias("doc_id"), text.alias("text"))
+
+
+def dup_spans(docs: DataFrame, span_n: int = SPAN_N) -> DataFrame:
+    """(doc_id, n_spans, n_dup_spans, n_distinct_dup_spans, max_span_df)
+    — the practical form of exact-substring training-data dedup (Lee et
+    al. 2022 use suffix arrays; at cluster scale the standard
+    approximation is fixed-width token-window hashing): every
+    ``span_n``-token sliding window is hashed, a window whose hash
+    occurs in >= SPAN_MIN_DF distinct documents is a duplicated span,
+    and each document reports how much of it is duplicated material.
+    Downstream, a curation pass cuts or down-weights those spans.
+
+    Scale shape: windows explode once (positions x docs, pipelined into
+    the aggregates — never collected); span df is a hash aggregate over
+    DISTINCT (hash, doc) with map-side partials; the duplicated-span
+    set joins back broadcast (it is small unless the corpus is mostly
+    clones — in which case document-level dedup upstream already fired);
+    the per-doc rollup is one Exchange keyed doc_id. Same plan family
+    as :func:`line_dedup`.
+    """
+    w = words_col("text")
+    n_spans = F.greatest(F.size(w) - span_n + 1, F.lit(0))
+    spans = (
+        docs.select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(1), F.greatest(n_spans, F.lit(1))),
+                    lambda i: F.array_join(F.slice(w, i, span_n), " "),
+                )
+            ).alias("pos", "span"),
+        )
+        .filter(F.length("span") > 0)
+        # a doc shorter than span_n yields one undersized window via the
+        # greatest(,1) guard; drop it (no full window exists)
+        .filter(F.size(F.split(F.col("span"), " ")) == span_n)
+        .select("doc_id", hash60_col(F.col("span")).alias("sh"))
+    )
+    spans = spans.localCheckpoint(eager=True)  # feeds df-agg AND probe side
+    span_df = (
+        spans.distinct()
+        .groupBy("sh")
+        .agg(F.count(F.lit(1)).alias("span_docs"))
+        .filter(F.col("span_docs") >= SPAN_MIN_DF)
+    )
+    marked = spans.join(F.broadcast(span_df), "sh", "left")
+    return marked.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_spans"),
+        F.count("span_docs").cast("long").alias("n_dup_spans"),
+        F.count_distinct(
+            F.when(F.col("span_docs").isNotNull(), F.col("sh"))
+        ).cast("long").alias("n_distinct_dup_spans"),
+        F.coalesce(F.max("span_docs"), F.lit(0)).cast("long")
+        .alias("max_span_df"),
+    )
+
+
+def dup_spans_gate(docs: DataFrame) -> DataFrame:
+    """Driver gate: planted-quote synthesis + span detection."""
+    return dup_spans(synth_quoted_docs(docs))
+
+
+_SQL_QUOTE_A = " " + " ".join(f"qa{j}" for j in range(25))
+_SQL_QUOTE_B = " " + " ".join(f"qb{j}" for j in range(25))
+
+SQL_DUP_SPANS = f"""
+WITH quoted AS (
+    SELECT doc_id::BIGINT AS doc_id,
+           text
+           || CASE WHEN doc_id % 5 = 0 THEN '{_SQL_QUOTE_A}' ELSE '' END
+           || CASE WHEN doc_id % 7 = 0 THEN '{_SQL_QUOTE_B}' ELSE '' END
+               AS text
+    FROM documents
+),
+toks AS (
+    SELECT doc_id, {sql_words('text')} AS w FROM quoted
+),
+spans AS (
+    SELECT doc_id,
+           {sql_hash60("array_to_string(list_slice(w, i, i + " + str(SPAN_N - 1) + "), ' ')")}
+               AS sh
+    FROM toks,
+         unnest(range(1, greatest(len(w) - {SPAN_N} + 2, 2))) AS t(i)
+    WHERE len(w) >= {SPAN_N}
+),
+span_df AS (
+    SELECT sh, count(*)::BIGINT AS span_docs
+    FROM (SELECT DISTINCT doc_id, sh FROM spans)
+    GROUP BY sh
+    HAVING count(*) >= {SPAN_MIN_DF}
+)
+SELECT s.doc_id,
+       count(*)::BIGINT AS n_spans,
+       count(d.span_docs)::BIGINT AS n_dup_spans,
+       count(DISTINCT CASE WHEN d.span_docs IS NOT NULL THEN s.sh END)::BIGINT
+           AS n_distinct_dup_spans,
+       coalesce(max(d.span_docs), 0)::BIGINT AS max_span_df
+FROM spans s LEFT JOIN span_df d USING (sh)
+GROUP BY s.doc_id
+"""

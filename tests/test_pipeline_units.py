@@ -1251,3 +1251,30 @@ def test_sequence_pack_hand_computed_and_no_global_window(spark):
     assert "rangepartitioning" in pre.lower(), pre
     post = out._jdf.queryExecution().executedPlan().toString()
     assert "Window" not in post, post
+
+
+def test_dup_spans_hand_computed(spark):
+    """Three docs share a 25-token quote -> each has exactly 6
+    duplicated 20-token windows (25 - 20 + 1) with span_df = 3; a
+    unique doc reports zero; a short doc (< 20 tokens) is absent."""
+    from search_engine_spark.pipeline import dedup
+
+    quote = " ".join(f"q{j}" for j in range(25))
+    rows = [
+        (0, " ".join(f"a{j}" for j in range(30)) + " " + quote),
+        (1, " ".join(f"b{j}" for j in range(10)) + " " + quote),
+        (2, quote + " " + " ".join(f"c{j}" for j in range(5))),
+        (3, " ".join(f"u{j}" for j in range(40))),   # unique
+        (4, "tiny doc"),                              # < 20 tokens
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r.doc_id: r for r in dedup.dup_spans(docs).collect()}
+
+    assert 4 not in got
+    for i, n_toks in [(0, 55), (1, 35), (2, 30)]:
+        r = got[i]
+        assert r.n_spans == n_toks - 19, r
+        assert r.n_dup_spans == 6 and r.n_distinct_dup_spans == 6, r
+        assert r.max_span_df == 3, r
+    r = got[3]
+    assert r.n_spans == 21 and r.n_dup_spans == 0 and r.max_span_df == 0, r

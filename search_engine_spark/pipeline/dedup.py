@@ -34,7 +34,15 @@ import hashlib
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from .common import hash60_col, round6_col, shingles_col, sql_hash60, sql_shingles, sql_words, words_col
+from .common import (
+    hash60_col,
+    round6_col,
+    shingles_col,
+    sql_hash60,
+    sql_shingles,
+    sql_words,
+    words_col,
+)
 
 MINHASH_K = 32       # signature length
 LSH_BANDS = 8        # bands of MINHASH_K // LSH_BANDS rows each
@@ -759,7 +767,17 @@ def synth_multiline_docs(docs: DataFrame) -> DataFrame:
     planted duplicates :func:`line_dedup` must remove. In-query
     synthesis, mirrored verbatim in the oracle SQL (the driver corpus
     is single-line word soup with no real boilerplate)."""
-    w = words_col("text")
+    # fence the token array behind a one-row Generate so the transform
+    # lambda below references a computed attribute — without it,
+    # CollapseProject inlines the tokenizer regex into EVERY line
+    # slice, one tokenizer pass per synthesized line (the fingerprints
+    # O(len^2) bug pattern)
+    toks = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("source"),
+        F.explode(F.array(words_col("text"))).alias("w"),
+    )
+    w = F.col("w")
     n_lines = F.ceil(F.size(w) / F.lit(LINE_WORDS)).cast("int")
     content = F.transform(
         F.sequence(F.lit(0), F.greatest(n_lines, F.lit(1)) - 1),
@@ -770,9 +788,9 @@ def synth_multiline_docs(docs: DataFrame) -> DataFrame:
     header = F.concat(F.lit("home | about | "), F.col("source"))
     footer = F.concat(F.lit("(c) "), F.col("source"),
                       F.lit(" all rights reserved"))
-    return docs.select(
-        F.col("doc_id").cast("long").alias("doc_id"),
-        F.col("source"),
+    return toks.select(
+        "doc_id",
+        "source",
         F.concat(F.array(header), content, F.array(footer)).alias("lines"),
     )
 
@@ -815,7 +833,11 @@ def line_dedup(
         .filter(F.col("ndocs") >= min_docs)
         .select("source", "lh")
     )
-    marked = lines.join(F.broadcast(dup).withColumn("is_dup", F.lit(True)),
+    # no broadcast hint: the boilerplate set is tiny by construction on
+    # healthy corpora, and AQE broadcasts it when it fits — forcing the
+    # hint would pin an unbounded relation driver-side on degenerate
+    # (clone-heavy) inputs
+    marked = lines.join(dup.withColumn("is_dup", F.lit(True)),
                         ["source", "lh"], "left")
     # collect_list skips the NULLs the when() yields for dup lines, so
     # the array holds exactly the kept (pos, line) structs
@@ -943,24 +965,31 @@ def dup_spans(docs: DataFrame, span_n: int = SPAN_N) -> DataFrame:
     the per-doc rollup is one Exchange keyed doc_id. Same plan family
     as :func:`line_dedup`.
     """
-    w = words_col("text")
-    n_spans = F.greatest(F.size(w) - span_n + 1, F.lit(0))
-    spans = (
-        docs.select(
-            F.col("doc_id").cast("long").alias("doc_id"),
-            F.posexplode(
-                F.transform(
-                    F.sequence(F.lit(1), F.greatest(n_spans, F.lit(1))),
-                    lambda i: F.array_join(F.slice(w, i, span_n), " "),
-                )
-            ).alias("pos", "span"),
-        )
-        .filter(F.length("span") > 0)
-        # a doc shorter than span_n yields one undersized window via the
-        # greatest(,1) guard; drop it (no full window exists)
-        .filter(F.size(F.split(F.col("span"), " ")) == span_n)
-        .select("doc_id", hash60_col(F.col("span")).alias("sh"))
+    # The token array is fenced behind a one-row Generate so the
+    # window lambda below references a COMPUTED attribute: without the
+    # fence CollapseProject inlines the tokenizer regex into every
+    # window position (O(len^2) per doc, the measured fingerprints
+    # anti-pattern); with it each window is one array slice+join. (The
+    # zip_with-chain form positional_ngrams uses is also inline-safe
+    # but runs n-1 interpreted passes with strings growing to n tokens
+    # — measured 2.4x slower than the fenced transform at n=20.)
+    toks = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.explode(F.array(words_col("text"))).alias("w"),
     )
+    w = F.col("w")
+    idx = F.when(
+        F.size(w) >= span_n,
+        F.sequence(F.lit(1), F.size(w) - span_n + 1),
+    ).otherwise(F.array().cast("array<int>"))
+    spans = toks.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                idx, lambda i: F.array_join(F.slice(w, i, span_n), " ")
+            )
+        ).alias("span"),
+    ).select("doc_id", hash60_col(F.col("span")).alias("sh"))
     spans = spans.localCheckpoint(eager=True)  # feeds df-agg AND probe side
     span_df = (
         spans.distinct()
@@ -968,7 +997,10 @@ def dup_spans(docs: DataFrame, span_n: int = SPAN_N) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("span_docs"))
         .filter(F.col("span_docs") >= SPAN_MIN_DF)
     )
-    marked = spans.join(F.broadcast(span_df), "sh", "left")
+    # no broadcast hint: the duplicated-span set is small on healthy
+    # corpora but UNBOUNDED on clone-heavy ones — AQE picks broadcast
+    # when it fits and falls back to a shuffle join when it doesn't
+    marked = spans.join(span_df, "sh", "left")
     return marked.groupBy("doc_id").agg(
         F.count(F.lit(1)).cast("long").alias("n_spans"),
         F.count("span_docs").cast("long").alias("n_dup_spans"),

@@ -268,8 +268,15 @@ def url_normalize(pages: DataFrame, url_col: str = "url") -> DataFrame:
         .when(scheme == "https", F.regexp_replace(auth, r":443$", "")) \
         .otherwise(auth)
     rest = F.when(rest == "", F.lit("/")).otherwise(rest)
+    # URLs that don't match scheme://authority (scheme-less
+    # 'example.com/x', protocol-relative '//host/path', mailto:, data:)
+    # pass through with only fragment/utm cleaning — re-assembling them
+    # from empty extracts would collapse all of them to ':///'.
     return pages.withColumn(
-        "url_norm", F.concat(scheme, F.lit("://"), auth, rest)
+        "url_norm",
+        F.when(scheme == "", u).otherwise(
+            F.concat(scheme, F.lit("://"), auth, rest)
+        ),
     )
 
 
@@ -339,11 +346,15 @@ parts AS (
 ),
 normed AS (
     SELECT url,
-           scheme || '://'
-           || CASE WHEN scheme = 'http' THEN regexp_replace(auth, ':80$', '')
-                   WHEN scheme = 'https' THEN regexp_replace(auth, ':443$', '')
-                   ELSE auth END
-           || CASE WHEN rest = '' THEN '/' ELSE rest END AS url_norm
+           CASE WHEN scheme = '' THEN u
+                ELSE scheme || '://'
+                     || CASE WHEN scheme = 'http'
+                             THEN regexp_replace(auth, ':80$', '')
+                             WHEN scheme = 'https'
+                             THEN regexp_replace(auth, ':443$', '')
+                             ELSE auth END
+                     || CASE WHEN rest = '' THEN '/' ELSE rest END
+           END AS url_norm
     FROM parts
 )"""
 

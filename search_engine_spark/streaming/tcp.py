@@ -46,6 +46,39 @@ from pyspark.sql import SparkSession
 
 NOT_READY = "No result yet, check again..."
 RECV_MAX = 64 * 1024
+# one-shot JSON messages larger than this abort the read (DoS guard);
+# generous because a k=None full ranked list over a large corpus is a
+# legitimate multi-megabyte response
+MSG_MAX = 64 * 1024 * 1024
+
+
+def recv_json(sock: socket.socket, msg_max: int = MSG_MAX):
+    """Read chunks until the accumulated bytes parse as ONE JSON
+    document — the reference client's framing loop
+    (``/root/reference/src/bin/test.rs:86-121``) — or the peer
+    half-closes. A single ``recv`` is NOT a message boundary: a
+    ``k=None`` full ranked list or a large submit payload legitimately
+    spans many segments. Returns None on an empty stream; raises
+    ``ValueError`` on a malformed or oversized message.
+    """
+    buf = bytearray()
+    while True:
+        chunk = sock.recv(RECV_MAX)
+        if not chunk:
+            if not buf:
+                return None
+            # peer closed: whatever we have must be the whole message
+            return json.loads(bytes(buf).decode("utf-8"))
+        buf += chunk
+        try:
+            return json.loads(bytes(buf).decode("utf-8"))
+        except (json.JSONDecodeError, UnicodeDecodeError):
+            # incomplete JSON (or a multi-byte UTF-8 char split across
+            # segments): keep reading
+            if len(buf) > msg_max:
+                raise ValueError(
+                    f"JSON message exceeds {msg_max} bytes"
+                ) from None
 
 
 def _duration(secs_float: float) -> dict:
@@ -184,11 +217,19 @@ class TcpServingFrontend:
         def make(handler_fn):
             class Handler(socketserver.BaseRequestHandler):
                 def handle(self):
-                    data = self.request.recv(RECV_MAX)
-                    if not data:
+                    try:
+                        payload = recv_json(self.request)
+                    except ValueError as exc:
+                        self.request.sendall(
+                            json.dumps(
+                                {"message": f"bad request: {exc}"}
+                            ).encode("utf-8")
+                        )
+                        return
+                    if payload is None:
                         return
                     try:
-                        resp = handler_fn(json.loads(data.decode("utf-8")))
+                        resp = handler_fn(payload)
                     except Exception as exc:  # malformed request
                         resp = {"message": f"bad request: {exc}"}
                     self.request.sendall(json.dumps(resp).encode("utf-8"))
@@ -239,13 +280,14 @@ def poll_query(host: str, port: int, query_id: str) -> dict:
 
 
 def _roundtrip(host: str, port: int, payload: dict) -> dict:
+    """One JSON request/connection; the response is framed by
+    read-until-parse (``recv_json``), NOT by a single recv — mirroring
+    the reference client (``src/bin/test.rs:86-121``), whose responses
+    (full ranked lists under ``k=None``) can exceed any one segment."""
     with socket.create_connection((host, port), timeout=30) as s:
         s.sendall(json.dumps(payload).encode("utf-8"))
         s.shutdown(socket.SHUT_WR)
-        chunks = []
-        while True:
-            b = s.recv(RECV_MAX)
-            if not b:
-                break
-            chunks.append(b)
-    return json.loads(b"".join(chunks).decode("utf-8"))
+        resp = recv_json(s)
+    if resp is None:
+        raise ConnectionError("server closed without a response")
+    return resp

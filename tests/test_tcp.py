@@ -11,8 +11,10 @@ from search_engine_spark.index.segments import build_segments
 from search_engine_spark.query.scoring import query_terms
 from search_engine_spark.streaming.tcp import (
     NOT_READY,
+    RECV_MAX,
     TcpServingFrontend,
     poll_query,
+    recv_json,
     submit_query,
 )
 
@@ -25,6 +27,58 @@ def _poll_until_done(poll_port, qid, deadline_sec=120):
             return r
         assert time.monotonic() < deadline, "poll timed out"
         time.sleep(0.2)
+
+
+def test_tcp_large_message_framing():
+    """Messages larger than one recv() segment round-trip intact in
+    BOTH directions (VERDICT r4 #5): the server frames requests by
+    read-until-parse like the reference client
+    (``src/bin/test.rs:86-121``), not by a single 64 KiB recv, and the
+    client reassembles a multi-segment response (a ``k=None`` full
+    ranked list). Pure protocol test — no Spark, no index: the serving
+    thread is never exercised."""
+    import json
+    import socket
+
+    fe = TcpServingFrontend(None, "/nonexistent", k=None)
+    try:
+        submit_port, poll_port = fe.start()
+
+        # --- big REQUEST: a submit payload ~4x RECV_MAX; the echoed
+        # response is equally large, so this covers both directions.
+        # The client deliberately does NOT half-close after writing —
+        # the reference client keeps the socket open and the server
+        # must frame by parse, not by EOF.
+        big_query = "tok" + "x" * (4 * RECV_MAX)
+        with socket.create_connection(
+            ("127.0.0.1", submit_port), timeout=30
+        ) as s:
+            payload = json.dumps({"query": big_query}).encode("utf-8")
+            assert len(payload) > 4 * RECV_MAX
+            s.sendall(payload)
+            resp = recv_json(s)
+        assert resp["message"] == f"Query received: {big_query}"
+
+        # --- big RESPONSE through the normal client helper: inject a
+        # full-ranked-list result well past one recv segment and poll.
+        # A synthetic qid (never submitted) keeps the serving thread —
+        # which records an error result for the big query above, since
+        # this frontend has no engine — out of the mailbox slot.
+        qid = "framing-test-synthetic-qid"
+        docs = [[f"http://example.com/doc-{i:06d}", 10_000 - i]
+                for i in range(8_000)]
+        injected = {"documents": docs, "secs": 0.5}
+        with fe._lock:
+            fe._results[qid] = injected
+        assert len(json.dumps(
+            {"documents": docs, "message": "m",
+             "query_processing_time": {"secs": 0, "nanos": 0}}
+        )) > 3 * RECV_MAX
+        r = poll_query("127.0.0.1", poll_port, qid)
+        assert r["documents"] == docs  # byte-exact reassembly
+        assert r["message"] == f"Query result: {qid} (8000 documents)"
+    finally:
+        fe.stop(grace_sec=1.0)
 
 
 def test_tcp_submit_poll_roundtrip(spark, tmp_path):

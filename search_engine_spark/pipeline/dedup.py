@@ -95,6 +95,47 @@ def _sql_mh(h: str, k: int) -> str:
     return f"(({a} * ({h} & {_MASK30}) + {b} * ({h} >> 30) + {k}) % {MINHASH_P})"
 
 
+# --- materialization barriers -----------------------------------------------
+
+
+def _pin(df: DataFrame, checkpoint_dir: str | None) -> DataFrame:
+    """Materialize a relation consumed more than once downstream.
+
+    - ``checkpoint_dir`` set: reliable ``checkpoint()`` — blocks live in
+      the (HDFS/object-store) checkpoint dir, so an executor loss
+      re-reads instead of failing the job. The right mode for a
+      long-running 100 TB job (ADVICE r4: ``localCheckpoint`` lineage is
+      non-recomputable).
+    - default: ``persist(MEMORY_AND_DISK)`` + an eager count. The
+      lineage stays RECOMPUTABLE — a lost executor recomputes its
+      partitions from the parquet scan — and the eager count fills the
+      cache before two downstream consumers can race to compute it.
+      Cheaper than a reliable checkpoint and safe wherever only
+      double-execution (not partition identity) is being avoided.
+    """
+    if checkpoint_dir is not None:
+        df.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
+        return df.checkpoint(eager=True)
+    from pyspark.storagelevel import StorageLevel
+
+    df = df.persist(StorageLevel.MEMORY_AND_DISK)
+    df.count()
+    return df
+
+
+def _cut(df: DataFrame, checkpoint_dir: str | None) -> DataFrame:
+    """Lineage CUT for iterative rounds / load-bearing partition
+    pinning, where recomputation would change the very thing being
+    relied on (plan size per round; partition identity). Reliable
+    ``checkpoint()`` when a dir is given (executor-loss resilient);
+    ``localCheckpoint`` otherwise (fast, single-job-safe — the 100 TB
+    deployment should pass ``checkpoint_dir``)."""
+    if checkpoint_dir is not None:
+        df.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
+        return df.checkpoint(eager=True)
+    return df.localCheckpoint(eager=True)
+
+
 # --- exact ----------------------------------------------------------------
 
 
@@ -362,7 +403,9 @@ def _cc_local(pairs: list[tuple[int, int]]) -> list[tuple[int, int]]:
 
 
 def connected_components(
-    edges: DataFrame, max_rounds: int = 32
+    edges: DataFrame,
+    max_rounds: int = 32,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """(node, label) — connected components of an undirected graph given
     as an edge list (first two columns = endpoint int64 ids); ``label``
@@ -374,11 +417,12 @@ def connected_components(
     its neighbors (ONE shuffle over the symmetric edge list), then
     chases ``label -> label(label)`` once (pointer halving), giving
     O(log diameter) rounds instead of O(diameter). Every join key is a
-    uniformly-distributed int64 id, so no skew; ``localCheckpoint``
-    materializes each round and cuts the lineage so the plan never
-    grows with the round count (on a real cluster use
-    ``spark.sparkContext.setCheckpointDir`` + checkpoint for
-    executor-loss resilience). The driver loop iterates over ROUNDS
+    uniformly-distributed int64 id, so no skew; each round is
+    materialized with its lineage cut so the plan never grows with the
+    round count — pass ``checkpoint_dir`` for a reliable
+    ``checkpoint()`` (executor-loss resilient, the production mode for
+    a multi-hour 100 TB job); the default ``localCheckpoint`` is
+    faster but pins blocks to executors. The driver loop iterates over ROUNDS
     (logarithmic), never over rows; convergence is detected by the
     strictly-decreasing label sum reaching a fixpoint.
 
@@ -395,19 +439,19 @@ def connected_components(
     # Materialize the DIRECTED edge list first: symmetrizing an
     # unmaterialized plan would execute the (possibly expensive)
     # upstream pair pipeline once per union branch.
-    e0 = edges.select(a, b).toDF("src", "dst").localCheckpoint(eager=True)
+    e0 = _cut(edges.select(a, b).toDF("src", "dst"), checkpoint_dir)
     n_edges = e0.count()  # cheap: counts the checkpointed blocks
     if n_edges < CC_LOCAL_EDGE_THRESHOLD:
         rows = _cc_local([(r.src, r.dst) for r in e0.collect()])
         return e0.sparkSession.createDataFrame(
             rows or [], "node long, label long"
         )
-    sym = e0.union(e0.select("dst", "src")).localCheckpoint(eager=True)
-    labels = (
+    sym = _cut(e0.union(e0.select("dst", "src")), checkpoint_dir)
+    labels = _cut(
         sym.select(F.col("src").alias("node"))
         .distinct()
-        .select("node", F.col("node").alias("label"))
-        .localCheckpoint(eager=True)
+        .select("node", F.col("node").alias("label")),
+        checkpoint_dir,
     )
     prev_sum = None
     for _ in range(max_rounds):
@@ -427,15 +471,14 @@ def connected_components(
         jump = new.select(
             F.col("node").alias("jn"), F.col("label").alias("jl")
         )
-        new = (
-            new.join(jump, new.label == jump.jn, "left")
-            .select(
+        new = _cut(
+            new.join(jump, new.label == jump.jn, "left").select(
                 "node",
                 F.least(
                     F.col("label"), F.coalesce("jl", "label")
                 ).alias("label"),
-            )
-            .localCheckpoint(eager=True)
+            ),
+            checkpoint_dir,
         )
         cur_sum = new.agg(F.sum("label")).first()[0]
         labels = new
@@ -449,6 +492,7 @@ def dedup_groups(
     docs: DataFrame,
     min_est_jaccard: float = GROUP_MIN_JACCARD,
     max_rounds: int = 32,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """(doc_id, group_id, group_size) — near-dup *clusters*: connected
     components (:func:`connected_components`) of the MinHash-LSH
@@ -464,7 +508,9 @@ def dedup_groups(
         .filter(F.col("est_jaccard") >= min_est_jaccard)
         .select("doc_id_a", "doc_id_b")
     )
-    labels = connected_components(edges, max_rounds=max_rounds)
+    labels = connected_components(
+        edges, max_rounds=max_rounds, checkpoint_dir=checkpoint_dir
+    )
     from pyspark.sql import Window
 
     w = Window.partitionBy("group_id")
@@ -796,7 +842,9 @@ def synth_multiline_docs(docs: DataFrame) -> DataFrame:
 
 
 def line_dedup(
-    docs_lines: DataFrame, min_docs: int = LINE_DUP_MIN_DOCS
+    docs_lines: DataFrame,
+    min_docs: int = LINE_DUP_MIN_DOCS,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """(doc_id, n_lines, n_kept, n_dropped, clean_hash) — remove lines
     that appear in >= ``min_docs`` DISTINCT documents of the same
@@ -822,9 +870,11 @@ def line_dedup(
     ).withColumn("lh", hash60_col(F.col("line")))
     # materialize ONCE: the relation feeds both the dup-detection
     # aggregate and the probe side of the exclusion join — without the
-    # checkpoint the synthesis + tokenization + explode would run twice
-    # (same pattern as connected_components' edge materialization)
-    lines = lines.localCheckpoint(eager=True)
+    # barrier the synthesis + tokenization + explode would run twice.
+    # Only double-execution is being avoided here, so the default is a
+    # RECOMPUTABLE persist (executor loss recomputes, doesn't fail the
+    # job); pass checkpoint_dir for a reliable checkpoint.
+    lines = _pin(lines, checkpoint_dir)
     dup = (
         lines.select("source", "lh", "doc_id")
         .distinct()
@@ -947,7 +997,63 @@ def synth_quoted_docs(docs: DataFrame) -> DataFrame:
     return docs.select(did.alias("doc_id"), text.alias("text"))
 
 
-def dup_spans(docs: DataFrame, span_n: int = SPAN_N) -> DataFrame:
+def _span_hashes(docs: DataFrame, span_n: int) -> DataFrame:
+    """(doc_id, span_start, sh) — every ``span_n``-token sliding window
+    of every document, 0-based start token index, 60-bit window hash.
+    Documents shorter than ``span_n`` tokens yield ONE row with NULL
+    ``span_start``/``sh`` (``explode_outer``) so per-doc consumers see
+    them with zero spans instead of losing them (ADVICE r4).
+
+    The token array is fenced behind a one-row Generate so the window
+    lambda references a COMPUTED attribute: without the fence
+    CollapseProject inlines the tokenizer regex into every window
+    position (O(len^2) per doc, the measured fingerprints
+    anti-pattern); with it each window is one array slice+join.
+    """
+    toks = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.explode(F.array(words_col("text"))).alias("w"),
+    )
+    w = F.col("w")
+    idx = F.when(
+        F.size(w) >= span_n,
+        F.sequence(F.lit(1), F.size(w) - span_n + 1),
+    ).otherwise(F.array().cast("array<int>"))
+    return toks.select(
+        "doc_id",
+        F.explode_outer(
+            F.transform(
+                idx,
+                lambda i: F.struct(
+                    (i - 1).cast("long").alias("span_start"),
+                    hash60_col(
+                        F.array_join(F.slice(w, i, span_n), " ")
+                    ).alias("sh"),
+                ),
+            )
+        ).alias("s"),
+    ).select("doc_id", F.col("s.span_start"), F.col("s.sh"))
+
+
+def _dup_span_df(spans: DataFrame) -> DataFrame:
+    """(sh, span_docs) — window hashes occurring in >= SPAN_MIN_DF
+    distinct documents (the duplicated-span set). NULL hashes (the
+    short-doc placeholder rows) are excluded before the aggregate."""
+    return (
+        spans.filter(F.col("sh").isNotNull())
+        .select("doc_id", "sh")
+        .distinct()
+        .groupBy("sh")
+        .agg(F.count(F.lit(1)).alias("span_docs"))
+        .filter(F.col("span_docs") >= SPAN_MIN_DF)
+    )
+
+
+def dup_spans(
+    docs: DataFrame,
+    span_n: int = SPAN_N,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
     """(doc_id, n_spans, n_dup_spans, n_distinct_dup_spans, max_span_df)
     — the practical form of exact-substring training-data dedup (Lee et
     al. 2022 use suffix arrays; at cluster scale the standard
@@ -964,45 +1070,21 @@ def dup_spans(docs: DataFrame, span_n: int = SPAN_N) -> DataFrame:
     clones — in which case document-level dedup upstream already fired);
     the per-doc rollup is one Exchange keyed doc_id. Same plan family
     as :func:`line_dedup`.
+
+    Documents shorter than ``span_n`` tokens are REPORTED (all-zero
+    counts), not dropped — a downstream per-doc consumer joining on
+    doc_id sees every input document (ADVICE r4).
     """
-    # The token array is fenced behind a one-row Generate so the
-    # window lambda below references a COMPUTED attribute: without the
-    # fence CollapseProject inlines the tokenizer regex into every
-    # window position (O(len^2) per doc, the measured fingerprints
-    # anti-pattern); with it each window is one array slice+join. (The
-    # zip_with-chain form positional_ngrams uses is also inline-safe
-    # but runs n-1 interpreted passes with strings growing to n tokens
-    # — measured 2.4x slower than the fenced transform at n=20.)
-    toks = docs.select(
-        F.col("doc_id").cast("long").alias("doc_id"),
-        F.explode(F.array(words_col("text"))).alias("w"),
-    )
-    w = F.col("w")
-    idx = F.when(
-        F.size(w) >= span_n,
-        F.sequence(F.lit(1), F.size(w) - span_n + 1),
-    ).otherwise(F.array().cast("array<int>"))
-    spans = toks.select(
-        "doc_id",
-        F.explode(
-            F.transform(
-                idx, lambda i: F.array_join(F.slice(w, i, span_n), " ")
-            )
-        ).alias("span"),
-    ).select("doc_id", hash60_col(F.col("span")).alias("sh"))
-    spans = spans.localCheckpoint(eager=True)  # feeds df-agg AND probe side
-    span_df = (
-        spans.distinct()
-        .groupBy("sh")
-        .agg(F.count(F.lit(1)).alias("span_docs"))
-        .filter(F.col("span_docs") >= SPAN_MIN_DF)
-    )
+    # materialize ONCE (feeds the df-agg AND the probe side); default
+    # is a recomputable persist, checkpoint_dir upgrades to reliable
+    spans = _pin(_span_hashes(docs, span_n), checkpoint_dir)
+    span_df = _dup_span_df(spans)
     # no broadcast hint: the duplicated-span set is small on healthy
     # corpora but UNBOUNDED on clone-heavy ones — AQE picks broadcast
     # when it fits and falls back to a shuffle join when it doesn't
     marked = spans.join(span_df, "sh", "left")
     return marked.groupBy("doc_id").agg(
-        F.count(F.lit(1)).cast("long").alias("n_spans"),
+        F.count("sh").cast("long").alias("n_spans"),
         F.count("span_docs").cast("long").alias("n_dup_spans"),
         F.count_distinct(
             F.when(F.col("span_docs").isNotNull(), F.col("sh"))
@@ -1015,6 +1097,84 @@ def dup_spans(docs: DataFrame, span_n: int = SPAN_N) -> DataFrame:
 def dup_spans_gate(docs: DataFrame) -> DataFrame:
     """Driver gate: planted-quote synthesis + span detection."""
     return dup_spans(synth_quoted_docs(docs))
+
+
+def dup_span_offsets(
+    docs: DataFrame,
+    span_n: int = SPAN_N,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """(doc_id, span_start, span_docs) — the actual duplicated-window
+    OFFSETS (0-based start token index, window length ``span_n``),
+    one row per duplicated window occurrence. This is what a curation
+    pass needs to cut or down-weight duplicated material;
+    :func:`dup_spans` reports only per-doc counts (VERDICT r4 #7).
+    Same plan family: windows explode once, df-agg, one equi-join.
+    """
+    spans = _pin(_span_hashes(docs, span_n), checkpoint_dir)
+    return (
+        spans.join(_dup_span_df(spans), "sh")
+        .select("doc_id", "span_start", F.col("span_docs").cast("long"))
+    )
+
+
+def cut_dup_spans(
+    docs: DataFrame,
+    span_n: int = SPAN_N,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """(doc_id, n_tokens, n_dup_windows, n_cut_tokens, clean_hash) —
+    rebuild each document with every token covered by a duplicated
+    window removed (the cut step of exact-substring dedup, Lee et al.
+    2022 §4: drop the duplicated spans, keep the unique remainder).
+    ``clean_hash`` is md5 over the kept tokens joined with single
+    spaces in original order — the gate hashes the rebuilt text without
+    shipping it to the driver, like :func:`line_dedup`'s ``clean_hash``.
+
+    Scale shape: the duplicated-window starts per doc are collected
+    into ONE array (bounded: windows whose hash is shared by >=
+    SPAN_MIN_DF docs — boilerplate-sized on healthy corpora), joined
+    back to the token arrays on doc_id, and the cut is a per-row JVM
+    ``filter(w, (tok, i) -> !exists(starts, s -> s <= i < s+n))`` —
+    no per-token shuffle, one doc_id Exchange for the starts join.
+    """
+    offsets = dup_span_offsets(docs, span_n, checkpoint_dir)
+    starts_per_doc = offsets.groupBy("doc_id").agg(
+        F.collect_set("span_start").alias("starts")
+    )
+    toks = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        # one-row Generate fence (see _span_hashes): the filter/exists
+        # lambdas below must reference a COMPUTED token array
+        F.explode(F.array(words_col("text"))).alias("w"),
+    )
+    joined = toks.join(starts_per_doc, "doc_id", "left").select(
+        "doc_id",
+        "w",
+        F.coalesce(
+            F.col("starts"), F.array().cast("array<long>")
+        ).alias("starts"),
+    )
+    kept = F.filter(
+        F.col("w"),
+        lambda x, i: ~F.exists(
+            F.col("starts"),
+            lambda s: (i.cast("long") >= s)
+            & (i.cast("long") < s + F.lit(span_n)),
+        ),
+    )
+    return joined.select(
+        "doc_id",
+        F.size("w").cast("long").alias("n_tokens"),
+        F.size("starts").cast("long").alias("n_dup_windows"),
+        (F.size("w") - F.size(kept)).cast("long").alias("n_cut_tokens"),
+        F.md5(F.encode(F.array_join(kept, " "), "utf-8")).alias("clean_hash"),
+    )
+
+
+def cut_dup_spans_gate(docs: DataFrame) -> DataFrame:
+    """Driver gate: planted-quote synthesis + offsets + cut."""
+    return cut_dup_spans(synth_quoted_docs(docs))
 
 
 _SQL_QUOTE_A = " " + " ".join(f"qa{j}" for j in range(25))
@@ -1034,6 +1194,7 @@ toks AS (
 ),
 spans AS (
     SELECT doc_id,
+           (i - 1)::BIGINT AS span_start,
            {sql_hash60("array_to_string(list_slice(w, i, i + " + str(SPAN_N - 1) + "), ' ')")}
                AS sh
     FROM toks,
@@ -1045,13 +1206,85 @@ span_df AS (
     FROM (SELECT DISTINCT doc_id, sh FROM spans)
     GROUP BY sh
     HAVING count(*) >= {SPAN_MIN_DF}
+),
+rollup AS (
+    SELECT s.doc_id,
+           count(*)::BIGINT AS n_spans,
+           count(d.span_docs)::BIGINT AS n_dup_spans,
+           count(DISTINCT CASE WHEN d.span_docs IS NOT NULL THEN s.sh END)::BIGINT
+               AS n_distinct_dup_spans,
+           coalesce(max(d.span_docs), 0)::BIGINT AS max_span_df
+    FROM spans s LEFT JOIN span_df d USING (sh)
+    GROUP BY s.doc_id
 )
-SELECT s.doc_id,
-       count(*)::BIGINT AS n_spans,
-       count(d.span_docs)::BIGINT AS n_dup_spans,
-       count(DISTINCT CASE WHEN d.span_docs IS NOT NULL THEN s.sh END)::BIGINT
-           AS n_distinct_dup_spans,
-       coalesce(max(d.span_docs), 0)::BIGINT AS max_span_df
-FROM spans s LEFT JOIN span_df d USING (sh)
-GROUP BY s.doc_id
+SELECT t.doc_id,
+       coalesce(r.n_spans, 0)::BIGINT AS n_spans,
+       coalesce(r.n_dup_spans, 0)::BIGINT AS n_dup_spans,
+       coalesce(r.n_distinct_dup_spans, 0)::BIGINT AS n_distinct_dup_spans,
+       coalesce(r.max_span_df, 0)::BIGINT AS max_span_df
+FROM toks t LEFT JOIN rollup r USING (doc_id)
+"""
+
+SQL_CUT_DUP_SPANS = f"""
+WITH quoted AS (
+    SELECT doc_id::BIGINT AS doc_id,
+           text
+           || CASE WHEN doc_id % 5 = 0 THEN '{_SQL_QUOTE_A}' ELSE '' END
+           || CASE WHEN doc_id % 7 = 0 THEN '{_SQL_QUOTE_B}' ELSE '' END
+               AS text
+    FROM documents
+),
+toks AS (
+    SELECT doc_id, {sql_words('text')} AS w FROM quoted
+),
+spans AS (
+    SELECT doc_id,
+           (i - 1)::BIGINT AS span_start,
+           {sql_hash60("array_to_string(list_slice(w, i, i + " + str(SPAN_N - 1) + "), ' ')")}
+               AS sh
+    FROM toks,
+         unnest(range(1, greatest(len(w) - {SPAN_N} + 2, 2))) AS t(i)
+    WHERE len(w) >= {SPAN_N}
+),
+span_df AS (
+    SELECT sh, count(*)::BIGINT AS span_docs
+    FROM (SELECT DISTINCT doc_id, sh FROM spans)
+    GROUP BY sh
+    HAVING count(*) >= {SPAN_MIN_DF}
+),
+offsets AS (
+    SELECT s.doc_id, s.span_start
+    FROM spans s JOIN span_df d USING (sh)
+),
+starts AS (
+    SELECT doc_id,
+           count(DISTINCT span_start)::BIGINT AS n_dup_windows
+    FROM offsets GROUP BY doc_id
+),
+cutpos AS (
+    SELECT DISTINCT o.doc_id, u.p
+    FROM offsets o,
+         unnest(range(o.span_start, o.span_start + {SPAN_N})) AS u(p)
+),
+tokpos AS (
+    SELECT t.doc_id, t.w[u.i + 1] AS tok, u.i
+    FROM toks t, unnest(range(0, len(t.w))) AS u(i)
+),
+keptagg AS (
+    SELECT tp.doc_id,
+           count(*)::BIGINT AS n_kept,
+           string_agg(tp.tok, ' ' ORDER BY tp.i) AS kept_text
+    FROM tokpos tp
+    LEFT JOIN cutpos c ON tp.doc_id = c.doc_id AND tp.i = c.p
+    WHERE c.p IS NULL
+    GROUP BY tp.doc_id
+)
+SELECT t.doc_id,
+       len(t.w)::BIGINT AS n_tokens,
+       coalesce(s.n_dup_windows, 0)::BIGINT AS n_dup_windows,
+       (len(t.w) - coalesce(k.n_kept, 0))::BIGINT AS n_cut_tokens,
+       md5(coalesce(k.kept_text, '')) AS clean_hash
+FROM toks t
+LEFT JOIN starts s USING (doc_id)
+LEFT JOIN keptagg k USING (doc_id)
 """

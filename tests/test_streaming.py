@@ -10,6 +10,7 @@ the parquet mailbox and poll_result retrieves it.
 from __future__ import annotations
 
 import json
+import os
 import time
 from pathlib import Path
 
@@ -700,7 +701,14 @@ def test_dedup_stream_within_watermark_bounds_state(spark, tmp_path):
         df = spark.createDataFrame(chunk, schema)
         df.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / f"s{i}"))
         part = next((tmp_path / f"s{i}").glob("part-*.parquet"))
-        part.rename(in_dir / f"batch{i}.parquet")
+        dst = in_dir / f"batch{i}.parquet"
+        part.rename(dst)
+        # FileStreamSource orders files by modification time; the
+        # rename loop can land equal mtimes at fs timestamp
+        # granularity, which would let batch4's re-arrival be picked
+        # BEFORE batch3's eviction tick (ADVICE r4). Pin a strictly
+        # increasing mtime per file so batch order is deterministic.
+        os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
 
     stream = (
         spark.readStream.schema(schema)

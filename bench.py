@@ -74,6 +74,10 @@ def make_spark(
         .config("spark.driver.memory", mem)
         .config("spark.driver.extraJavaOptions", jvm_opts)
         .config("spark.ui.enabled", "false")
+        # No stage progress bars: the driver captures a BOUNDED window
+        # of this process's output, and progress-bar spam is what
+        # pushed the result line out of the r1 capture
+        .config("spark.ui.showConsoleProgress", "false")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # Keep Python workers alive across jobs: a reaped worker would
         # pay its (host-slow, serialized) first-touch page faults again
@@ -122,7 +126,67 @@ def _sf_of(sf_dir: str) -> float:
         return -1.0
 
 
-def bench_queries(spark, sf_dir: str) -> dict[str, float]:
+def _timed_curation_verdict(spark, sf_dir: str) -> tuple[float, int]:
+    """Time curation_verdict the way its docstring says production runs
+    it (VERDICT r4 #2): the six per-doc metrics relations are
+    MATERIALIZED FIRST (untimed — each one's derivation cost is already
+    measured under its own gate: dedup_exact, dedup_groups, lang_id,
+    text_stats, lm_score, repetition_stats) and the timed span is the
+    join+fold composition only. The driver's correctness gate still
+    runs the self-contained default-compute path."""
+    from pyspark.storagelevel import StorageLevel
+
+    from search_engine_spark.corpus import load_table
+    from search_engine_spark.pipeline import (
+        corpus_stats,
+        curation,
+        dedup,
+        textstats,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    metrics = {
+        "exact": dedup.exact_dups(docs),
+        "groups": dedup.dedup_groups(docs),
+        "lang": textstats.lang_id(docs),
+        "quality": textstats.text_stats(docs),
+        "lm": corpus_stats.lm_score(docs),
+        "repetition": textstats.repetition_stats(docs),
+    }
+    for df in metrics.values():
+        df.persist(StorageLevel.MEMORY_AND_DISK).count()  # untimed
+    try:
+        t0 = time.monotonic()
+        n = curation.curation_verdict(docs, **metrics).count()
+        return round(time.monotonic() - t0, 3), n
+    finally:
+        for df in metrics.values():
+            df.unpersist()
+
+
+def _dedup_graph_edges(spark, sf_dir: str) -> int:
+    """Untimed: the near-dup candidate-graph edge count feeding
+    dedup_groups/curation_verdict at this scale — emitted so a reviewer
+    can compute time-per-edge across scales (VERDICT r4 #3: the >4x
+    sf1 ratios must be provable as output growth from the artifact)."""
+    from pyspark.sql import functions as F
+
+    from search_engine_spark.corpus import load_table
+    from search_engine_spark.pipeline import dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        dedup.minhash_pairs(docs)
+        .filter(F.col("est_jaccard") >= dedup.GROUP_MIN_JACCARD)
+        .count()
+    )
+
+
+def bench_queries(spark, sf_dir: str) -> tuple[dict[str, float], dict]:
+    """Returns (per-gate seconds, decomposition dict). The
+    decomposition carries per-gate OUTPUT ROW COUNTS and the dup-graph
+    edge count so time-per-output-row is computable for every gate at
+    every scale from the artifact alone."""
     import __spark_entry__ as entrymod
 
     # Untimed warmup: pay JVM/codegen/Arrow first-run costs once, outside
@@ -135,15 +199,39 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
     load_table(spark, sf_dir, "documents").count()
     entrymod.queries()["tfsum_topk"](spark, sf_dir).count()
     entrymod.queries()["wand_topk"](spark, sf_dir).count()
+    # Python-worker/Arrow warmup: the first mapInPandas of a session
+    # spins up one Python worker per core and initializes Arrow IPC —
+    # a fixed session cost that otherwise lands on whichever Arrow gate
+    # runs first (measured on sequence_pack in r4: 6.5 s cold vs 1.5 s
+    # warm, VERDICT r4 #8)
+    spark.range(CPUS * 4).repartition(CPUS).mapInPandas(
+        lambda it: it, "id long"
+    ).count()
 
     timings: dict[str, float] = {}
+    rows: dict[str, int] = {}
     for name, fn in sorted(entrymod.queries().items()):
-        t0 = time.monotonic()
-        df = fn(spark, sf_dir)
-        n = df.count()
-        timings[name] = round(time.monotonic() - t0, 3)
-        print(f"# {name}: {timings[name]:.3f}s rows={n}", file=sys.stderr)
-    return timings
+        if name == "curation_verdict":
+            timings[name], rows[name] = _timed_curation_verdict(spark, sf_dir)
+        else:
+            t0 = time.monotonic()
+            df = fn(spark, sf_dir)
+            rows[name] = df.count()
+            timings[name] = round(time.monotonic() - t0, 3)
+        print(
+            f"# {name}: {timings[name]:.3f}s rows={rows[name]}",
+            file=sys.stderr,
+        )
+    decomposition = {
+        "rows": rows,
+        "dedup_graph_edges": _dedup_graph_edges(spark, sf_dir),
+        "curation_verdict_mode": (
+            "timed span = join+fold over PRE-MATERIALIZED metrics "
+            "relations (production contract per its docstring); each "
+            "metric's derivation cost is measured under its own gate"
+        ),
+    }
+    return timings, decomposition
 
 
 def _ensure_sf1(spark, src_dir: str) -> str:
@@ -336,7 +424,7 @@ def bench_query_latency(spark, sf_dir: str, out_dir: str) -> dict:
 def run_default() -> dict:
     spark = make_spark(CPUS)
     try:
-        timings = bench_queries(spark, SF_DIR)
+        timings, decomposition = bench_queries(spark, SF_DIR)
         index = bench_index_build(spark, SF_DIR, "/tmp/bench-segidx")
         latency = bench_query_latency(spark, SF_DIR, "/tmp/bench-latidx")
         total = round(sum(timings.values()), 3)
@@ -345,6 +433,7 @@ def run_default() -> dict:
             "value": total,
             "unit": "sec",
             "queries": timings,
+            "decomposition": decomposition,
             "sf": _sf_of(SF_DIR),
             "cores": CPUS,
             "index": index,
@@ -357,10 +446,11 @@ def run_default() -> dict:
         # cached and untimed. SPARK_GRAFT_SF1=0 disables.
         if os.environ.get("SPARK_GRAFT_SF1", "1") != "0" and _sf_of(SF_DIR) == 0.1:
             sf1_dir = _ensure_sf1(spark, SF_DIR)
-            t_sf1 = bench_queries(spark, sf1_dir)
+            t_sf1, d_sf1 = bench_queries(spark, sf1_dir)
             out["sf1"] = {
                 "sf": 1.0,
                 "queries": t_sf1,
+                "decomposition": d_sf1,
                 "total_sec": round(sum(t_sf1.values()), 3),
                 "index": bench_index_build(spark, sf1_dir, "/tmp/bench-segidx1"),
                 "derivation": "10x deterministic expansion of sf0.1 "
@@ -773,7 +863,30 @@ def main() -> None:
         out_path.write_text(line + "\n")
     except OSError:
         pass  # read-only checkout: stdout still carries the result
-    print(line)
+    if args.scaling:
+        print(line)
+        return
+    # stdout gets ONE SHORT line (VERDICT r4 #4: the full dump
+    # overflowed the driver's bounded stdout capture in r3 AND r4,
+    # leaving BENCH_rN unparseable) — per-gate timings, row counts and
+    # the sf1 block live in the file artifact.
+    compact = {
+        "metric": "headline gate suite wall time (sum); full per-gate artifact at `artifact`",
+        "value": result["value"],
+        "unit": "sec",
+        "sf": result["sf"],
+        "cores": result["cores"],
+        "n_gates": len(result["queries"]),
+        "queries": {"total_sec": result["value"]},
+        "p50_sec": result["query_latency"]["p50_sec"],
+        "batch10_per_query_sec": result["query_latency"][
+            "batch10_per_query_sec"
+        ],
+        "index_docs_per_sec": result["index"]["docs_per_sec"],
+        "sf1_total_sec": result.get("sf1", {}).get("total_sec"),
+        "artifact": str(out_path),
+    }
+    print(json.dumps(compact))
 
 
 if __name__ == "__main__":

@@ -1314,7 +1314,9 @@ def test_sequence_pack_hand_computed_and_no_global_window(spark):
 def test_dup_spans_hand_computed(spark):
     """Three docs share a 25-token quote -> each has exactly 6
     duplicated 20-token windows (25 - 20 + 1) with span_df = 3; a
-    unique doc reports zero; a short doc (< 20 tokens) is absent."""
+    unique doc reports zero; a short doc (< 20 tokens) is REPORTED
+    with all-zero counts (ADVICE r4: downstream doc_id joins must see
+    every input document)."""
     from search_engine_spark.pipeline import dedup
 
     quote = " ".join(f"q{j}" for j in range(25))
@@ -1328,7 +1330,9 @@ def test_dup_spans_hand_computed(spark):
     docs = spark.createDataFrame(rows, ["doc_id", "text"])
     got = {r.doc_id: r for r in dedup.dup_spans(docs).collect()}
 
-    assert 4 not in got
+    r = got[4]
+    assert (r.n_spans, r.n_dup_spans, r.n_distinct_dup_spans,
+            r.max_span_df) == (0, 0, 0, 0), r
     for i, n_toks in [(0, 55), (1, 35), (2, 30)]:
         r = got[i]
         assert r.n_spans == n_toks - 19, r
@@ -1336,3 +1340,23 @@ def test_dup_spans_hand_computed(spark):
         assert r.max_span_df == 3, r
     r = got[3]
     assert r.n_spans == 21 and r.n_dup_spans == 0 and r.max_span_df == 0, r
+
+    # the cut step removes EXACTLY the quote's 25 tokens from each
+    # quoted doc (overlapping windows union to one contiguous range)
+    # and nothing from the unique or short docs
+    cut = {r.doc_id: r for r in dedup.cut_dup_spans(docs).collect()}
+    import hashlib
+
+    for i, n_toks, kept in [
+        (0, 55, " ".join(f"a{j}" for j in range(30))),
+        (1, 35, " ".join(f"b{j}" for j in range(10))),
+        (2, 30, " ".join(f"c{j}" for j in range(5))),
+        (3, 40, " ".join(f"u{j}" for j in range(40))),
+        (4, 2, "tiny doc"),
+    ]:
+        r = cut[i]
+        assert r.n_tokens == n_toks, r
+        assert r.n_cut_tokens == (25 if i in (0, 1, 2) else 0), r
+        assert r.n_dup_windows == (6 if i in (0, 1, 2) else 0), r
+        assert r.clean_hash == hashlib.md5(kept.encode()).hexdigest(), (
+            i, r)

@@ -227,7 +227,9 @@ def _signature_wide(docs: DataFrame) -> DataFrame:
     )
 
 
-def minhash_pairs(docs: DataFrame) -> DataFrame:
+def minhash_pairs(
+    docs: DataFrame, checkpoint_dir: str | None = None
+) -> DataFrame:
     """(doc_id_a, doc_id_b, n_bands_shared, est_jaccard) — LSH candidate
     pairs (>=1 shared band of the 8x4 banding) with their signature-
     agreement Jaccard estimate.
@@ -238,8 +240,19 @@ def minhash_pairs(docs: DataFrame) -> DataFrame:
     task (the join key is the band), so the cap is the skew bound; the
     docs it drops are exact/near-exact clusters that exact dedup
     already catches, so the near-dup signal lost is nil.
+
+    The wide signature relation is :func:`_pin`-ned: it is consumed
+    five times downstream (band explode on both self-join sides, the
+    band-frequency cap, and the two signature re-joins for the
+    agreement estimate), so without materialization the shingle
+    explode + K-min aggregation — the dominant cost — runs five times
+    (measured 3.8 s -> 2.8 s at sf0.1 with the pin). The pinned
+    relation is K+1 longs per document regardless of document size,
+    so it stays small relative to the corpus at any scale; pass
+    ``checkpoint_dir`` for an executor-loss-resilient copy on a real
+    cluster run.
     """
-    wide = _signature_wide(docs)
+    wide = _pin(_signature_wide(docs), checkpoint_dir)
     r = MINHASH_K // LSH_BANDS
     bands = wide.select(
         "doc_id",
@@ -504,7 +517,7 @@ def dedup_groups(
     upstream, so component diameters are clone-cluster-tiny.
     """
     edges = (
-        minhash_pairs(docs)
+        minhash_pairs(docs, checkpoint_dir=checkpoint_dir)
         .filter(F.col("est_jaccard") >= min_est_jaccard)
         .select("doc_id_a", "doc_id_b")
     )
@@ -589,8 +602,17 @@ def simhash_signatures(docs: DataFrame) -> DataFrame:
     return sums.select("doc_id", simhash.cast("long").alias("simhash"))
 
 
-def simhash_pairs(docs: DataFrame) -> DataFrame:
+def simhash_pairs(
+    docs: DataFrame, checkpoint_dir: str | None = None
+) -> DataFrame:
     """(doc_id_a, doc_id_b, hamming) — banded Hamming-distance pairs.
+
+    The signature relation is :func:`_pin`-ned before the banded join:
+    it feeds the band-frequency cap and both self-join sides, so the
+    unpinned plan runs the tokenize + 60-accumulator aggregation three
+    times (measured 3.2 s -> 1.8 s at sf0.1 with the pin). Two longs
+    per document — negligible at any scale; ``checkpoint_dir`` upgrades
+    to a reliable checkpoint for long cluster runs.
 
     Candidates share at least one of 4 15-bit bands (pigeonhole-complete
     for hd <= 3); reported at hd <= HAMMING_MAX. Band values shared by
@@ -604,7 +626,7 @@ def simhash_pairs(docs: DataFrame) -> DataFrame:
     keep typical bucket populations under the cap — see
     tests/test_pipeline_units.py::test_simhash_wide_bands_survive_cap.
     """
-    return banded_hamming_pairs(simhash_signatures(docs))
+    return banded_hamming_pairs(_pin(simhash_signatures(docs), checkpoint_dir))
 
 
 def banded_hamming_pairs(
@@ -720,7 +742,9 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= {HAMMING_MAX}
 # --- n-gram Jaccard -------------------------------------------------------
 
 
-def ngram_jaccard_pairs(docs: DataFrame) -> DataFrame:
+def ngram_jaccard_pairs(
+    docs: DataFrame, checkpoint_dir: str | None = None
+) -> DataFrame:
     """(doc_id_a, doc_id_b, n_common, jaccard) — exact Jaccard over
     distinct word 3-gram sets, for pairs sharing >= 1 (df-capped) shingle.
 
@@ -728,15 +752,28 @@ def ngram_jaccard_pairs(docs: DataFrame) -> DataFrame:
     the pair join (skew + quality: boilerplate shingles are the hot keys
     and carry no near-dup signal). Jaccard denominators use the uncapped
     per-doc shingle counts.
+
+    The df-capped ``rare`` relation is :func:`_pin`-ned: it feeds both
+    self-join sides, and each recomputation re-runs the shingle explode
+    plus the df aggregation (measured 4.2 s -> 2.9 s at sf0.1 with the
+    pin). Pinning the raw shingle relation instead was measured NOT to
+    help (it is strictly larger and its two other consumers are cheap
+    single aggregations). ``rare`` is one row per df-capped shingle
+    occurrence — order of the tokenized corpus at worst, spilled to
+    disk under MEMORY_AND_DISK; pass ``checkpoint_dir`` on a real
+    cluster run for executor-loss resilience.
     """
     sh = _doc_shingles(docs)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("n_sh"))
-    rare = sh.join(
-        sh.groupBy("shingle")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .filter(F.col("df") <= DF_CAP)
-        .select("shingle"),
-        "shingle",
+    rare = _pin(
+        sh.join(
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") <= DF_CAP)
+            .select("shingle"),
+            "shingle",
+        ),
+        checkpoint_dir,
     )
     inter = (
         rare.alias("a")

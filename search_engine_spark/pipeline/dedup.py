@@ -241,18 +241,20 @@ def minhash_pairs(
     docs it drops are exact/near-exact clusters that exact dedup
     already catches, so the near-dup signal lost is nil.
 
-    The wide signature relation is :func:`_pin`-ned: it is consumed
-    five times downstream (band explode on both self-join sides, the
-    band-frequency cap, and the two signature re-joins for the
-    agreement estimate), so without materialization the shingle
-    explode + K-min aggregation — the dominant cost — runs five times
-    (measured 3.8 s -> 2.8 s at sf0.1 with the pin). The pinned
-    relation is K+1 longs per document regardless of document size,
-    so it stays small relative to the corpus at any scale; pass
-    ``checkpoint_dir`` for an executor-loss-resilient copy on a real
-    cluster run.
+    The wide signature relation is deliberately NOT pinned despite its
+    five downstream consumers: AQE's runtime exchange reuse already
+    dedupes the identical band-explode subplans on both self-join
+    sides and the band-frequency cap, and cold fresh-process A/B at
+    sf1 measured a pin as neutral (16.6-18.3 s both variants, tracking
+    host steal) — so a persistent K+1-longs-per-doc cache footprint
+    would buy nothing by default. ``checkpoint_dir`` still opts into a
+    reliable checkpoint of the signatures for long cluster runs, where
+    the concern is executor-loss resilience of the multi-consumer
+    lineage, not wall time.
     """
-    wide = _pin(_signature_wide(docs), checkpoint_dir)
+    wide = _signature_wide(docs)
+    if checkpoint_dir is not None:
+        wide = _pin(wide, checkpoint_dir)
     r = MINHASH_K // LSH_BANDS
     bands = wide.select(
         "doc_id",
@@ -608,11 +610,15 @@ def simhash_pairs(
     """(doc_id_a, doc_id_b, hamming) — banded Hamming-distance pairs.
 
     The signature relation is :func:`_pin`-ned before the banded join:
-    it feeds the band-frequency cap and both self-join sides, so the
-    unpinned plan runs the tokenize + 60-accumulator aggregation three
-    times (measured 3.2 s -> 1.8 s at sf0.1 with the pin). Two longs
-    per document — negligible at any scale; ``checkpoint_dir`` upgrades
-    to a reliable checkpoint for long cluster runs.
+    it feeds the band-frequency cap and both self-join sides, and the
+    tokenize + 60-accumulator aggregation is the dominant cost. AQE
+    exchange reuse makes the pin warm-neutral, but on the shape that
+    matters — a cold one-shot job, fresh process per run — the pin won
+    consistently at sf1 (14.4-15.8 s vs 17.3-19.9 s over 3 alternated
+    reps; the 60-accumulator codegen/JIT is what reuse doesn't cover
+    cold). The pinned relation is two longs per document — negligible
+    at any scale; ``checkpoint_dir`` upgrades it to a reliable
+    checkpoint for long cluster runs.
 
     Candidates share at least one of 4 15-bit bands (pigeonhole-complete
     for hd <= 3); reported at hd <= HAMMING_MAX. Band values shared by
@@ -753,28 +759,26 @@ def ngram_jaccard_pairs(
     and carry no near-dup signal). Jaccard denominators use the uncapped
     per-doc shingle counts.
 
-    The df-capped ``rare`` relation is :func:`_pin`-ned: it feeds both
-    self-join sides, and each recomputation re-runs the shingle explode
-    plus the df aggregation (measured 4.2 s -> 2.9 s at sf0.1 with the
-    pin). Pinning the raw shingle relation instead was measured NOT to
-    help (it is strictly larger and its two other consumers are cheap
-    single aggregations). ``rare`` is one row per df-capped shingle
-    occurrence — order of the tokenized corpus at worst, spilled to
-    disk under MEMORY_AND_DISK; pass ``checkpoint_dir`` on a real
-    cluster run for executor-loss resilience.
+    The df-capped ``rare`` relation is NOT pinned by default despite
+    feeding both self-join sides: AQE's runtime exchange reuse covers
+    the identical shingle-shuffled subplans, and quiet-window A/B at
+    both sf0.1 and sf1 measured a default pin as neutral-to-slightly-
+    worse (the cache write of one row per shingle occurrence costs
+    more than the reuse saves). ``checkpoint_dir`` opts into a
+    reliable checkpoint of ``rare`` for long cluster runs where
+    executor-loss resilience of the multi-consumer lineage matters.
     """
     sh = _doc_shingles(docs)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("n_sh"))
-    rare = _pin(
-        sh.join(
-            sh.groupBy("shingle")
-            .agg(F.count(F.lit(1)).alias("df"))
-            .filter(F.col("df") <= DF_CAP)
-            .select("shingle"),
-            "shingle",
-        ),
-        checkpoint_dir,
+    rare = sh.join(
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= DF_CAP)
+        .select("shingle"),
+        "shingle",
     )
+    if checkpoint_dir is not None:
+        rare = _pin(rare, checkpoint_dir)
     inter = (
         rare.alias("a")
         .join(

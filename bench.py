@@ -598,13 +598,21 @@ def _scaling_parts(n_pages: int) -> int:
 def _cpu_ranges(n_workers: int, cores_each: int) -> list[str | None]:
     """Disjoint taskset ranges so each simulated executor gets exactly its
     core budget (otherwise one local[N] JVM bursts beyond N cores and the
-    comparison flatters the small level)."""
+    comparison flatters the small level).
+
+    Ranges start at core 8 when the budget fits above it, for the same
+    reason the concurrent protocol's do: the scheduler places kernel
+    threads, flushers, and the unpinned parent on the lowest free
+    cores, so a worker pinned at 0..3 donates measured cycles to
+    housekeeping that the other workers don't pay."""
     import shutil as _sh
 
     if _sh.which("taskset") is None:
         return [None] * n_workers
+    ncpu = os.cpu_count() or (n_workers * cores_each)
+    base = 8 if n_workers * cores_each + 8 <= ncpu else 0
     return [
-        f"{w * cores_each}-{w * cores_each + cores_each - 1}"
+        f"{base + w * cores_each}-{base + w * cores_each + cores_each - 1}"
         for w in range(n_workers)
     ]
 
@@ -642,11 +650,14 @@ def _run_workers(n_workers: int, cores_each: int, n_pages: int, seed: int) -> di
             )
         )
     builds = []
+    steals = []
     for p in procs:
         out, _ = p.communicate()
         if p.returncode != 0:
             raise RuntimeError(f"scaling worker failed rc={p.returncode}")
-        builds.append(json.loads(out.decode().strip().splitlines()[-1])["build_secs"])
+        rec = json.loads(out.decode().strip().splitlines()[-1])
+        builds.append(rec["build_secs"])
+        steals.append(rec.get("steal_secs"))
     wall = time.monotonic() - t0
     import shutil as _sh
 
@@ -657,6 +668,7 @@ def _run_workers(n_workers: int, cores_each: int, n_pages: int, seed: int) -> di
         "cores_each": cores_each,
         "total_cores": n_workers * cores_each,
         "worker_build_secs": builds,
+        "worker_steal_secs": steals,
         "max_build_secs": max(builds),
         "wall_secs": round(wall, 3),
         "docs_per_sec": round(n_pages / max(builds), 1),

@@ -439,9 +439,21 @@ def bench_query_latency(spark, sf_dir: str, out_dir: str) -> dict:
 def run_default() -> dict:
     spark = make_spark(CPUS)
     try:
+        # Per-segment host-steal disclosure (same rationale as the
+        # scaling protocol's): the artifact itself says whether a
+        # segment's window was storm-hit, so a reviewer can attribute
+        # an outlier total to the host rather than the code.
+        steal = {}
+        s0 = _steal_secs()
         timings, decomposition = bench_queries(spark, SF_DIR)
+        s1 = _steal_secs()
+        steal["gates_sf"] = round(s1 - s0, 2)
         index = bench_index_build(spark, SF_DIR, "/tmp/bench-segidx")
+        s2 = _steal_secs()
+        steal["index"] = round(s2 - s1, 2)
         latency = bench_query_latency(spark, SF_DIR, "/tmp/bench-latidx")
+        s3 = _steal_secs()
+        steal["latency"] = round(s3 - s2, 2)
         total = round(sum(timings.values()), 3)
         out = {
             "metric": "headline query wall time (sum) at sf; index-build throughput in `index`; BM25 top-k serving latency in `query_latency`",
@@ -453,6 +465,7 @@ def run_default() -> dict:
             "cores": CPUS,
             "index": index,
             "query_latency": latency,
+            "host_steal_secs": steal,
         }
         # Second scale point (default on at sf0.1): the same 24-gate
         # suite + index build at a deterministically derived sf1 (10x),
@@ -461,7 +474,9 @@ def run_default() -> dict:
         # cached and untimed. SPARK_GRAFT_SF1=0 disables.
         if os.environ.get("SPARK_GRAFT_SF1", "1") != "0" and _sf_of(SF_DIR) == 0.1:
             sf1_dir = _ensure_sf1(spark, SF_DIR)
+            s4 = _steal_secs()
             t_sf1, d_sf1 = bench_queries(spark, sf1_dir)
+            steal["gates_sf1"] = round(_steal_secs() - s4, 2)
             out["sf1"] = {
                 "sf": 1.0,
                 "queries": t_sf1,
